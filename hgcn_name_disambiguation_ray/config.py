@@ -1,0 +1,58 @@
+"""Pipeline configuration.
+
+The model / clustering constants mirror the reference's published
+constants (BASELINE.md "Model constants"; reference `GCN.py:73,124,151-159`,
+`name_disambiguation.py:86,487,547-548,1060-1062`) so that per-block scoring
+reproduces the reference's cluster semantics. Everything else (salting,
+LSH, batch sizes) is new, scale-oriented design with no reference analogue
+beyond the `max_works=100` block cap (`openAlex_to_HGCN.py:453`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class LinkageConfig:
+    # ---- per-block scoring model (reference constants) ----
+    embed_dim: int = 100          # embedding width (reference GCN.py:73)
+    feature_dim: int = 100        # token-vector width (word2vec was 100-d)
+    train_batch_size: int = 64    # LINE minibatch (reference name_disambiguation.py:547)
+    learning_rate: float = 1e-4   # Adam lr (reference GCN.py:159)
+    l2_lambda: float = 1e-4       # L2 reg weight (reference GCN.py:151-158)
+    num_walks: int = 4            # walks per node (reference :1060)
+    walk_length: int = 10         # steps per walk (reference :1061)
+    negative_num: int = 3         # negatives per positive (reference :1062)
+    # metapath over layers [coauthor, cotitle, coauthor, covenue] (reference :487/:1067)
+    metapath: tuple[int, ...] = (0, 1, 0, 2)
+    # layer fusion weights (5*A + 1*T + 4*V)/10 (reference GCN.py:124)
+    fusion: tuple[float, float, float] = (5.0, 1.0, 4.0)
+    fusion_denom: float = 10.0
+    epochs_factor: int = 3        # total_batch = 3*len(u_i)/batch (reference :548)
+    ghac_threshold: float = 0.9   # pre-clustering similarity threshold (reference :86)
+    min_shared_tokens: int = 2    # co-title edge rule |stemmed ∩| >= 2 (reference :422)
+
+    # ---- blocking / skew (new, scale design) ----
+    salt_cap: int = 512           # max mentions per (block_key, salt) sub-block;
+                                  # analogue of the reference's max_works=100 cap
+    minhash_perms: int = 64       # MinHash signature length
+    lsh_bands: int = 16           # bands (rows = perms // bands)
+    cross_salt_jaccard: float = 0.5  # stemmed-token Jaccard needed to merge across salts
+
+    # ---- execution ----
+    extract_batch_size: int = 1024
+    scorer_concurrency: int | tuple[int, int] = (1, 8)
+    seed: int = 20240816          # global determinism seed; per-block seeds derive
+                                  # from blake2b(block_key, salt, seed)
+
+    def rows_per_band(self) -> int:
+        return self.minhash_perms // self.lsh_bands
+
+
+# 16-word stoplist of the reference (name_disambiguation.py:274,772) --
+# stored raw; stages stem it with the same stemmer they apply to tokens.
+STOPWORDS_RAW: tuple[str, ...] = (
+    "at", "based", "in", "of", "for", "on", "and", "to",
+    "an", "using", "with", "the", "method", "algrithom", "by", "model",
+)

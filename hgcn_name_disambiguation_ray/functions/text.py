@@ -1,0 +1,118 @@
+"""Vectorized text normalization / tokenization.
+
+Semantics mirror the reference title normalizer (M2/M3 in SURVEY.md §2.2;
+reference `name_disambiguation.py:271,352-364,771-773`):
+
+  1. replace every run of punctuation ``!"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~``
+     plus U+2014 (em dash) and U+FF5E (fullwidth tilde) with a single space;
+  2. replace tabs with spaces;
+  3. lowercase;
+  4. split on single spaces (empty fields dropped by the length filter);
+  5. keep tokens with len > 1  -> ``tokens``   (reference ``p_to``);
+  6. Porter-stem; drop stems in the 16-word stemmed stoplist
+     -> ``tokens_stemmed``                      (reference ``p_t``).
+
+The hot path is Arrow-native: the regex/lower/split run as pyarrow.compute
+kernels over whole columns; the per-token length/stem/stoplist filters run
+over the *flattened* values array with numpy + a memoised stemmer, then the
+list structure is rebuilt from offsets. No per-row Python loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from hgcn_name_disambiguation_ray.config import STOPWORDS_RAW
+from hgcn_name_disambiguation_ray.functions.stemmer import stem
+
+# exact char class of the reference normalizer (codepoints verified against
+# name_disambiguation.py:271): ASCII punctuation + em dash + fullwidth tilde
+PUNCT_PATTERN = r"[!\"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~—～]+"
+
+STOPWORDS_STEMMED = frozenset(stem(w) for w in STOPWORDS_RAW)
+
+
+def normalize_strings(col: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
+    """Steps 1-3: punctuation->space, tab->space, lowercase. Vectorized."""
+    out = pc.replace_substring_regex(col, pattern=PUNCT_PATTERN, replacement=" ")
+    out = pc.replace_substring(out, pattern="\t", replacement=" ")
+    return pc.utf8_lower(out)
+
+
+def _rebuild_list(flat: np.ndarray, keep: np.ndarray, offsets: np.ndarray) -> pa.ListArray:
+    """Filter flattened list values by `keep` and rebuild a ListArray."""
+    cum = np.zeros(len(flat) + 1, dtype=np.int64)
+    np.cumsum(keep, out=cum[1:])
+    new_offsets = cum[offsets]  # kept-count prefix sums at each list boundary
+    values = pa.array(flat[keep], type=pa.string())
+    return pa.ListArray.from_arrays(pa.array(new_offsets, type=pa.int64()), values)
+
+
+def tokenize_column(col: pa.Array | pa.ChunkedArray) -> tuple[pa.ListArray, pa.ListArray]:
+    """Return (tokens, tokens_stemmed) list<string> arrays for a text column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    norm = normalize_strings(col)
+    if isinstance(norm, pa.ChunkedArray):
+        norm = norm.combine_chunks()
+    norm = norm.fill_null("")
+    split = pc.split_pattern(norm, pattern=" ")
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    offsets = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = np.asarray(split.values.to_pandas(), dtype=object)
+
+    # len > 1 filter (drops the empty strings produced by split on runs too)
+    lens = np.frompyfunc(len, 1, 1)(flat).astype(np.int64) if len(flat) else np.zeros(0, dtype=np.int64)
+    keep_raw = lens > 1
+    tokens = _rebuild_list(flat, keep_raw, offsets)
+
+    # stem distinct surviving tokens once, then apply stoplist
+    kept = flat[keep_raw]
+    if len(kept):
+        uniq, inverse = np.unique(kept.astype(str), return_inverse=True)
+        stemmed_uniq = np.array([stem(t) for t in uniq], dtype=object)
+        stop_uniq = np.array([s in STOPWORDS_STEMMED for s in stemmed_uniq], dtype=bool)
+        stemmed_kept = stemmed_uniq[inverse]
+        keep_stem_within = ~stop_uniq[inverse]
+    else:
+        stemmed_kept = kept
+        keep_stem_within = np.zeros(0, dtype=bool)
+
+    # build stemmed lists: start from the raw-kept structure
+    raw_offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    tokens_stemmed = _rebuild_list(stemmed_kept, keep_stem_within, raw_offsets)
+    return tokens, tokens_stemmed
+
+
+def tokenize_batch(batch: pa.Table, text_col: str = "title") -> pa.Table:
+    """map_batches body: append `tokens` and `tokens_stemmed` columns."""
+    tokens, tokens_stemmed = tokenize_column(batch[text_col])
+    batch = batch.append_column("tokens", tokens)
+    return batch.append_column("tokens_stemmed", tokens_stemmed)
+
+
+def normalized_name_key(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Blocking key from an entity surface name (M1 semantics,
+    reference `openAlex_to_HGCN.py:46-91`): lowercase, split on whitespace,
+    key = "first last" (single-token names key on that token alone)."""
+    low = pc.utf8_lower(col)
+    parts = pc.split_pattern_regex(low, pattern=r"\s+")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    first = pc.list_element(parts, 0)
+    n = pc.list_value_length(parts)
+    last_idx = pc.subtract(n, 1)
+    # list_element needs a scalar index; gather last via flattened offsets
+    offsets = parts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = parts.values
+    last_pos = np.maximum(offsets[1:] - 1, offsets[:-1])
+    last = values.take(pa.array(last_pos))
+    first_np = np.asarray(first.to_pandas(), dtype=object)
+    last_np = np.asarray(last.to_pandas(), dtype=object)
+    same = first_np == last_np
+    out = np.where(same, first_np, np.char.add(np.char.add(first_np.astype(str), " "), last_np.astype(str)))
+    _ = last_idx, n  # vectorized helpers retained for clarity
+    return pa.array(out.astype(object), type=pa.string())

@@ -1,0 +1,175 @@
+"""The flagship end-to-end record-linkage pipeline (SURVEY.md §3, §7).
+
+    read_parquet(pages)                       # source, column-pruned
+    -> map_batches(extract_batch)             # stateless; html dropped here
+    -> map_batches(tokenize_batch)            # M2/M3 normalize+stem
+    -> map_batches(add_block_keys)            # M1 normalized-name key
+    [-> parquet checkpoint 'mentions']        # resume point; count pass reads
+                                              #   ONLY the block_key column
+    -> salt assignment (broadcast salt map)   # hot-key skew split
+    -> groupby(block_key, salt)               # THE shuffle
+       .map_groups(BlockScorer)               # stateful actor pool, per block
+    -> [closure over hub + cross-salt edges]  # only when salting occurred
+    -> clusters(block_key, salt, mention_id, cluster_id)
+
+Nothing materializes the pages table; mentions (token/key columns only,
+no html) are the only intermediate, either checkpointed to Parquet or —
+for small in-memory runs — pinned with `materialize()` so the skew-stats
+pass does not recompute the extract.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data import Dataset
+
+from hgcn_name_disambiguation_ray.config import LinkageConfig
+from hgcn_name_disambiguation_ray.functions.text import tokenize_batch
+from hgcn_name_disambiguation_ray.sources.checkpoint import checkpoint_stage, fingerprint
+from hgcn_name_disambiguation_ray.stages.blocking import (
+    AssignSalt,
+    add_block_keys,
+    block_counts,
+    cross_salt_merge_edges,
+    make_salt_map,
+)
+from hgcn_name_disambiguation_ray.stages.closure import connected_components
+from hgcn_name_disambiguation_ray.stages.extract import extract_batch
+from hgcn_name_disambiguation_ray.stages.scorer import BlockScorer
+
+MENTION_COLUMNS = [
+    "url", "mention_id", "name", "title", "coentities", "host", "year",
+    "tokens", "tokens_stemmed", "block_key",
+]
+
+
+def extract_mentions(pages: Dataset, cfg: LinkageConfig | None = None) -> Dataset:
+    """pages -> mentions: extract, tokenize, block keys. Stateless stages."""
+    cfg = cfg or LinkageConfig()
+    ds = pages.map_batches(extract_batch, batch_format="pyarrow", batch_size=cfg.extract_batch_size)
+
+    def drop_invalid(t: pa.Table) -> pa.Table:
+        # pages with no extractable entity mention (no name or no mention id)
+        # carry no linkage signal; dropping them mirrors the reference's
+        # guard-clause skip of malformed <publication> elements
+        # (name_disambiguation.py:820-826)
+        import pyarrow.compute as pc
+
+        ok = pc.and_(
+            pc.not_equal(pc.coalesce(t["name"], pa.scalar("")), ""),
+            pc.not_equal(pc.coalesce(t["mention_id"], pa.scalar("")), ""),
+        )
+        return t.filter(ok)
+
+    ds = ds.map_batches(drop_invalid, batch_format="pyarrow")
+    ds = ds.map_batches(tokenize_batch, batch_format="pyarrow")
+    ds = add_block_keys(ds)
+    return ds.select_columns(MENTION_COLUMNS)
+
+
+def run_linkage(
+    pages: Dataset,
+    cfg: LinkageConfig | None = None,
+    checkpoint_dir: str | None = None,
+    lineage_token: str = "",
+) -> Dataset:
+    """pages Dataset -> clusters Dataset(block_key, salt, mention_id, cluster_id)."""
+    cfg = cfg or LinkageConfig()
+
+    if checkpoint_dir:
+        mentions = checkpoint_stage(
+            lambda: extract_mentions(pages, cfg),
+            f"{checkpoint_dir}/mentions",
+            fingerprint("mentions-v1", lineage_token, cfg),
+        )
+    else:
+        mentions = extract_mentions(pages, cfg).materialize()
+
+    counts = block_counts(mentions)
+    salt_map = make_salt_map(counts, cfg.salt_cap)
+    salt_ref = ray.put(salt_map)
+
+    salted = mentions.map_batches(
+        AssignSalt, fn_constructor_args=(salt_ref,), batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    clusters = salted.groupby(["block_key", "salt"]).map_groups(
+        BlockScorer,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        concurrency=cfg.scorer_concurrency,
+    )
+
+    out_cols = ["block_key", "salt", "mention_id", "cluster_id"]
+    if not salt_map:
+        return clusters.select_columns(out_cols)
+
+    # --- hot keys were split: merge sub-block LOCAL CLUSTERS transitively.
+    # Edges exist between cluster ids of the same hot key that share >= 2
+    # distinct merge signals (coentity / LSH band); connected components
+    # over this (tiny) cluster graph give the canonical id; the root map
+    # (one row per merged hot cluster) is broadcast for the final relabel.
+    hot_keys = set(salt_map)
+
+    def hot_filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t["block_key"], value_set=pa.array(sorted(hot_keys))))
+
+    hot_clusters = clusters.map_batches(hot_filter, batch_format="pyarrow")
+    edges = cross_salt_merge_edges(hot_clusters, cfg).select_columns(["u", "v"])
+    comps = connected_components(edges)
+    root_map = {
+        r["mention_id"]: r["component"] for r in comps.to_pandas().to_dict("records")
+    }  # keys are cluster ids here (closure is id-agnostic); small by construction
+    root_ref = ray.put(root_map)
+
+    class Relabel:
+        def __init__(self, ref):
+            self.roots = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df[out_cols].copy()
+            df["cluster_id"] = df["cluster_id"].map(lambda c: self.roots.get(c, c))
+            return df
+
+    return clusters.map_batches(
+        Relabel, fn_constructor_args=(root_ref,), batch_format="pandas",
+        concurrency=(1, 4),
+    )
+
+
+def clusters_with_truth(clusters: Dataset, truth: pa.Table) -> Dataset:
+    """Attach ground-truth person_id (fixtures only) for evaluation."""
+    tdf = truth.to_pandas()[["mention_id", "person_id"]]
+    ref = ray.put(tdf)
+
+    class Join:
+        def __init__(self, ref):
+            self.truth = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(self.truth, on="mention_id", how="inner")
+
+    return clusters.map_batches(Join, fn_constructor_args=(ref,), batch_format="pandas",
+                                concurrency=(1, 4))
+
+
+def write_clusters(clusters: Dataset, out_dir: str) -> None:
+    """Resumable sink: Parquet partitioned by a bounded key-hash prefix."""
+    def add_prefix(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from hgcn_name_disambiguation_ray.functions.hashing import stable_hash64_array
+
+        keys = np.asarray(batch["block_key"].to_pandas(), dtype=object)
+        pref = (stable_hash64_array(keys) % 64).astype(np.int32)
+        return batch.append_column("block_prefix", pa.array(pref, type=pa.int32()))
+
+    clusters.map_batches(add_prefix, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["block_prefix"]
+    )

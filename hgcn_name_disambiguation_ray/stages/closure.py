@@ -1,0 +1,148 @@
+"""Distributed transitive closure (union-find as dataflow).
+
+Connected components over an edge Dataset via alternating large-star /
+small-star contraction (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC 2014 — a public algorithm): each round is
+two groupby shuffles over the (small) edge set, converging in
+O(log^2 n) rounds; no driver-side union-find, so the closure scales with
+the cluster, replacing the reference's in-memory scipy
+`connected_components` (`name_disambiguation.py:83-87,604-605`) across
+block boundaries (SURVEY.md A9).
+
+Node ids are strings (mention ids); the component id is the
+lexicographically smallest member, which makes output deterministic.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from ray.data import Dataset
+
+
+def _large_star(edges: Dataset) -> Dataset:
+    """For each node u: m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u."""
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"a": pd.concat([df["u"], df["v"]]), "b": pd.concat([df["v"], df["u"]])}
+        )
+
+    def contract(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["a"].iloc[0]
+        m = min(g["b"].min(), u)
+        big = g.loc[g["b"] > u, "b"].unique()
+        return pd.DataFrame({"u": big, "v": [m] * len(big)})
+
+    symmetric = edges.map_batches(sym, batch_format="pandas")
+    return symmetric.groupby("a").map_groups(contract, batch_format="pandas")
+
+
+def _small_star(edges: Dataset) -> Dataset:
+    """Orient edges to (max, min); per node u: m = min(N(u) ∪ {u});
+    emit (v, m) for v in N(u) ∪ {u}, v != m."""
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        hi = df[["u", "v"]].max(axis=1)
+        lo = df[["u", "v"]].min(axis=1)
+        keep = hi != lo
+        return pd.DataFrame({"a": hi[keep], "b": lo[keep]})
+
+    def contract(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["a"].iloc[0]
+        nbrs = g["b"].unique()
+        m = min(nbrs.min(), u)
+        nodes = [v for v in set(nbrs) | {u} if v != m]
+        return pd.DataFrame({"u": nodes, "v": [m] * len(nodes)})
+
+    oriented = edges.map_batches(orient, batch_format="pandas")
+    return oriented.groupby("a").map_groups(contract, batch_format="pandas")
+
+
+def _checksum(edges: Dataset) -> tuple[int, int]:
+    """(row_count, order-insensitive content hash) for convergence tests."""
+
+    def h(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        from hgcn_name_disambiguation_ray.functions.hashing import stable_hash64
+
+        if len(df) == 0:
+            return pd.DataFrame({"h": [0], "n": [0]})
+        vals = [stable_hash64(f"{a}\x00{b}") for a, b in zip(df["u"], df["v"])]
+        return pd.DataFrame({"h": [int(np.bitwise_xor.reduce(np.asarray(vals, dtype=np.uint64)))], "n": [len(df)]})
+
+    parts = edges.map_batches(h, batch_format="pandas").to_pandas()
+    import numpy as np
+
+    if len(parts) == 0:
+        return (0, 0)
+    return (
+        int(parts["n"].sum()),
+        int(np.bitwise_xor.reduce(parts["h"].to_numpy(dtype=np.uint64))),
+    )
+
+
+def _local_components(edges: Dataset) -> Dataset:
+    """Driver-side union-find for provably small edge sets (streamed in
+    batches, never a single to_pandas of a big set)."""
+    import ray.data as rd
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for batch in edges.iter_batches(batch_size=65536, batch_format="pandas"):
+        for u, v in zip(batch["u"], batch["v"]):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+    rows = {"mention_id": list(parent), "component": [find(x) for x in parent]}
+    return rd.from_pandas(pd.DataFrame(rows)) if parent else rd.from_pandas(
+        pd.DataFrame({"mention_id": pd.Series(dtype=object), "component": pd.Series(dtype=object)})
+    )
+
+
+# below this many edges the all-to-all star-contraction rounds cost more
+# than streaming the edge list through one driver-side union-find
+LOCAL_CLOSURE_MAX_EDGES = 2_000_000
+
+
+def connected_components(edges: Dataset, max_rounds: int = 30) -> Dataset:
+    """edges(u, v) -> Dataset(mention_id, component) for every node that
+    appears in an edge. Isolated nodes don't appear (callers union them).
+
+    Small edge sets (post-blocking candidate edges are usually tiny
+    relative to the input) take the driver union-find path; large ones
+    run the distributed star-contraction."""
+    edges = edges.materialize()
+    if edges.count() <= LOCAL_CLOSURE_MAX_EDGES:
+        return _local_components(edges)
+    cur = edges
+    prev_sig: tuple[int, int] | None = None
+    for _ in range(max_rounds):
+        cur = _small_star(_large_star(cur)).map_batches(
+            lambda df: df.drop_duplicates(), batch_format="pandas"
+        )
+        sig = _checksum(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"mention_id": df["u"], "component": df["v"]})
+        roots = pd.DataFrame({"mention_id": df["v"].unique()})
+        roots["component"] = roots["mention_id"]
+        return pd.concat([out, roots], ignore_index=True)
+
+    mapped = cur.map_batches(finalize, batch_format="pandas")
+    # a root may appear in several batches; dedup (root, root) rows
+    return mapped.groupby("mention_id").map_groups(
+        lambda g: g.sort_values("component").head(1), batch_format="pandas"
+    )

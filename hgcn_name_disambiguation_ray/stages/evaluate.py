@@ -1,0 +1,70 @@
+"""Distributed pairwise P/R/F1 (the reference's evaluation, as counts).
+
+The reference scores a clustering by iterating all O(n²) label pairs
+(`name_disambiguation.py:111-133`). The group-count identity used here
+computes the same numbers without materializing pairs (SURVEY.md A5):
+
+  TP      = Σ over (block, true, pred) cells of C(n_cell, 2)
+  TP+FP   = Σ over (block, pred)       of C(n_pred, 2)
+  TP+FN   = Σ over (block, true)       of C(n_true, 2)
+
+per block, then macro-averaged over blocks like the reference's CSV
+summary (`:1261-1294`). Pairs never cross blocks — "labeled pairs at the
+same blocking key" per the north rule.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+
+def _c2(n: pd.Series) -> pd.Series:
+    return n * (n - 1) / 2.0
+
+
+def _cell_counts(ds: Dataset, keys: list[str], out: str) -> Dataset:
+    """Pre-aggregated per-batch counts -> small groupby-sum (no row shuffle)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(keys).aggregate([(keys[0], "count")])
+        return agg.rename_columns(keys + [out])
+
+    partials = ds.select_columns(keys).map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(keys).aggregate(Sum(out, alias_name=out))
+
+
+def pairwise_scores(labeled: Dataset) -> pd.DataFrame:
+    """labeled: Dataset with columns (block_key, person_id, cluster_id).
+
+    Returns per-block DataFrame (block_key, precision, recall, f1) plus a
+    macro-average row (block_key='__macro__'), mirroring the reference's
+    per-name rows + 'Avg' row (`name_disambiguation.py:1265-1303`).
+    """
+    labeled = labeled.materialize()  # post-clustering label rows: small; avoids
+    # re-executing the upstream pipeline for each of the three count passes
+    cells = _cell_counts(labeled, ["block_key", "person_id", "cluster_id"], "n").to_pandas()
+    preds = _cell_counts(labeled, ["block_key", "cluster_id"], "n").to_pandas()
+    trues = _cell_counts(labeled, ["block_key", "person_id"], "n").to_pandas()
+
+    tp = cells.assign(tp=_c2(cells["n"])).groupby("block_key")["tp"].sum()
+    pp = preds.assign(pp=_c2(preds["n"])).groupby("block_key")["pp"].sum()
+    ap = trues.assign(ap=_c2(trues["n"])).groupby("block_key")["ap"].sum()
+
+    df = pd.DataFrame({"tp": tp, "pp": pp, "ap": ap}).fillna(0.0)
+    df["precision"] = (df["tp"] / df["pp"]).where(df["tp"] > 0, 0.0)
+    df["recall"] = (df["tp"] / df["ap"]).where(df["tp"] > 0, 0.0)
+    denom = df["precision"] + df["recall"]
+    df["f1"] = (2 * df["precision"] * df["recall"] / denom).where(denom > 0, 0.0)
+    out = df.reset_index()[["block_key", "precision", "recall", "f1"]]
+    macro = pd.DataFrame(
+        {
+            "block_key": ["__macro__"],
+            "precision": [out["precision"].mean()],
+            "recall": [out["recall"].mean()],
+            "f1": [out["f1"].mean()],
+        }
+    )
+    return pd.concat([out, macro], ignore_index=True)

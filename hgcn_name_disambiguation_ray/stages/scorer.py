@@ -1,0 +1,186 @@
+"""BlockScorer: the stateful per-block scoring stage (actor pool).
+
+One call processes ONE candidate block (all mentions sharing a
+`(block_key, salt)`) entirely in memory — the Ray-Data reincarnation of
+the reference's per-name inner loop (SURVEY.md §3; reference
+`name_disambiguation.py:776-1233`):
+
+  edges (A1 coauthor / A2 cotitle ∩>=2 / covenue, D5 weighted union)
+  -> seeded metapath walks (O1/O2)
+  -> fused one-layer graph encoder + LINE training (C1-C4, numpy)
+  -> graph-constrained HAC with modularity auto-k (C5/C6)
+
+Used as `groupby(["block_key","salt"]).map_groups(BlockScorer(...))` —
+the callable-class form makes Ray run it in an actor pool, so the
+embedder cache and numpy buffers are reused across blocks (ST1/ST2).
+
+Determinism contract (replaces the reference's unseeded randomness,
+§2.10): mentions are sorted by mention_id before indexing, and the rng
+seed is blake2b(block_key, salt, cfg.seed) — identical output for any
+executor parallelism, retry, or cluster size.
+"""
+
+from __future__ import annotations
+
+from hashlib import blake2b
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from hgcn_name_disambiguation_ray.config import LinkageConfig
+from hgcn_name_disambiguation_ray.state.embedder import HashEmbedder
+from hgcn_name_disambiguation_ray.state.gcn import BlockEncoder
+from hgcn_name_disambiguation_ray.state.hac import ghac_cluster
+from hgcn_name_disambiguation_ray.state.walks import metapath_walks
+
+
+def block_seed(block_key: str, salt: int, base_seed: int) -> int:
+    h = blake2b(f"{block_key}\x00{salt}\x00{base_seed}".encode(), digest_size=8)
+    return int.from_bytes(h.digest(), "big")
+
+
+def _cooccurrence(n: int, groups: dict[object, list[int]]) -> np.ndarray:
+    """Dense co-occurrence counts: +1 for every pair sharing a key."""
+    w = np.zeros((n, n))
+    for idx in groups.values():
+        if len(idx) > 1:
+            a = np.asarray(idx)
+            w[np.ix_(a, a)] += 1.0
+    np.fill_diagonal(w, 0.0)
+    return w
+
+
+def build_block_graphs(
+    coentities: list[list[str]],
+    tokens_stemmed: list[list[str]],
+    hosts: list[str],
+    min_shared_tokens: int = 2,
+) -> list[np.ndarray]:
+    """[Wa, Wt, Wv, W_combined] adjacency matrices for one block.
+
+    Wa[i,j] = |coentities_i ∩ coentities_j|   (A1, reference :393-397)
+    Wt[i,j] = |stemmed_i ∩ stemmed_j| if >= min_shared else 0 (A2, :420-424)
+    Wv[i,j] = 1 if same host/venue                 (S5/:408-413)
+    combined = weight-sum union (D5, :429-436)
+    """
+    n = len(hosts)
+    inv_a: dict[object, list[int]] = {}
+    for i, ents in enumerate(coentities):
+        for e in set(ents):
+            inv_a.setdefault(e, []).append(i)
+    wa = _cooccurrence(n, inv_a)
+
+    inv_t: dict[object, list[int]] = {}
+    for i, toks in enumerate(tokens_stemmed):
+        for t in set(toks):
+            inv_t.setdefault(t, []).append(i)
+    wt = _cooccurrence(n, inv_t)
+    wt[wt < min_shared_tokens] = 0.0
+
+    inv_v: dict[object, list[int]] = {}
+    for i, h in enumerate(hosts):
+        if h:
+            inv_v.setdefault(h, []).append(i)
+    wv = _cooccurrence(n, inv_v)
+
+    return [wa, wt, wv, wa + wt + wv]
+
+
+class BlockScorer:
+    """Callable-class stage: one Arrow group table in, cluster rows out."""
+
+    def __init__(self, cfg: LinkageConfig | None = None, fixed_k: bool = False):
+        self.cfg = cfg or LinkageConfig()
+        self.embedder = HashEmbedder(dim=self.cfg.feature_dim, seed=self.cfg.seed)
+        self.fixed_k = fixed_k  # conformance mode C7: k = |truth clusters| column
+
+    def __call__(self, group: pa.Table | pd.DataFrame) -> pa.Table:
+        if isinstance(group, pd.DataFrame):
+            group = pa.Table.from_pandas(group, preserve_index=False)
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "block_key": pa.array([], type=pa.string()),
+                    "salt": pa.array([], type=pa.int32()),
+                    "mention_id": pa.array([], type=pa.string()),
+                    "cluster_id": pa.array([], type=pa.string()),
+                    "cluster_coentities": pa.array([], type=pa.list_(pa.string())),
+                    "cluster_tokens": pa.array([], type=pa.list_(pa.string())),
+                }
+            )
+        cols = group.to_pydict()
+        order = np.argsort(np.asarray(cols["mention_id"], dtype=object), kind="stable")
+        mids = [cols["mention_id"][i] for i in order]
+        coents = [list(cols["coentities"][i] or []) for i in order]
+        toks_st = [list(cols["tokens_stemmed"][i] or []) for i in order]
+        toks_raw = [list(cols["tokens"][i] or []) for i in order]
+        hosts = [cols["host"][i] for i in order]
+        bkey = cols["block_key"][0]
+        salt = int(cols.get("salt", [0])[0] or 0)
+
+        labels = self.score_block(bkey, salt, mids, coents, toks_st, toks_raw, hosts,
+                                  n_clusters=self._k(cols, order))
+        n = len(mids)
+        # cluster-level merge signatures (used only when the block was
+        # salted): distinct coentities and the stemmed-token union per
+        # local cluster, carried on every member row.
+        by_cluster: dict[int, list[int]] = {}
+        for i, c in enumerate(labels):
+            by_cluster.setdefault(int(c), []).append(i)
+        cl_coents: dict[int, list[str]] = {}
+        cl_tokens: dict[int, list[str]] = {}
+        for c, idx in by_cluster.items():
+            ents: set[str] = set()
+            toks: set[str] = set()
+            for i in idx:
+                ents.update(coents[i])
+                toks.update(toks_st[i])
+            cl_coents[c] = sorted(ents)[:64]
+            cl_tokens[c] = sorted(toks)[:256]
+        return pa.table(
+            {
+                "block_key": pa.array([bkey] * n, type=pa.string()),
+                "salt": pa.array([salt] * n, type=pa.int32()),
+                "mention_id": pa.array(mids, type=pa.string()),
+                "cluster_id": pa.array(
+                    [f"{bkey}|{salt}|{int(c)}" for c in labels], type=pa.string()
+                ),
+                "cluster_coentities": pa.array(
+                    [cl_coents[int(c)] for c in labels], type=pa.list_(pa.string())
+                ),
+                "cluster_tokens": pa.array(
+                    [cl_tokens[int(c)] for c in labels], type=pa.list_(pa.string())
+                ),
+            }
+        )
+
+    def _k(self, cols: dict, order: np.ndarray) -> int:
+        if self.fixed_k and "true_k" in cols:
+            return int(cols["true_k"][0])
+        return -1
+
+    def score_block(
+        self,
+        block_key: str,
+        salt: int,
+        mention_ids: list[str],
+        coentities: list[list[str]],
+        tokens_stemmed: list[list[str]],
+        tokens_raw: list[list[str]],
+        hosts: list[str],
+        n_clusters: int = -1,
+    ) -> np.ndarray:
+        """Pure block scorer: returns int cluster labels aligned to inputs."""
+        cfg = self.cfg
+        n = len(mention_ids)
+        if n == 1:
+            return np.zeros(1, dtype=np.int64)
+        layers = build_block_graphs(coentities, tokens_stemmed, hosts, cfg.min_shared_tokens)
+        feats = self.embedder.features(tokens_raw)
+        seed = block_seed(block_key, salt, cfg.seed)
+        rng = np.random.default_rng(seed)
+        u_i, u_j, lab = metapath_walks(layers, cfg, rng)
+        encoder = BlockEncoder(cfg, seed ^ 0x5A5A5A5A)
+        embed = encoder.fit_embed(layers[:3], feats, u_i, u_j, lab)
+        return ghac_cluster(embed, layers[-1], n_clusters=n_clusters, threshold=cfg.ghac_threshold)

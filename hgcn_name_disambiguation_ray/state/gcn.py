@@ -1,0 +1,112 @@
+"""Per-block heterogeneous graph encoder + LINE-style trainer (numpy).
+
+Reimplements the reference model semantics (SURVEY.md §2.8; reference
+`GCN.py`) without TensorFlow:
+
+  * preprocessing matrix  Â = I + D^-1/2 A D^-1/2  per layer, with the
+    inf->0 guard for isolated nodes (`GCN.py:32-42`);
+  * the *effective* model is one fused layer — the reference computes a
+    second layer but discards it (`GCN.py:130`, documented defect §2.10) —
+    H = relu((5·Âa X Wa + 1·Ât X Wt + 4·Âv X Wv) / 10)   (`GCN.py:119-130`)
+    with 100-d embeddings and seeded Xavier-uniform init (`GCN.py:65-68`);
+  * LINE loss  -mean(log σ(label·⟨h_i, h_j⟩)) + λ Σ ||W||²/2  with Adam
+    (lr 1e-4, λ 1e-4; `GCN.py:132-159`), minibatch 64, wraparound
+    slicing, total_batch = 3·len(u_i)/64 (`name_disambiguation.py:547-572`).
+
+Since the propagated inputs P_l = Â_l X are constant during training,
+they are computed once; each step only touches the three 100x100 weight
+matrices, so training a block is a few hundred small matmuls.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hgcn_name_disambiguation_ray.config import LinkageConfig
+
+
+def gcn_matrix(adj: np.ndarray) -> np.ndarray:
+    """Â = I + D^-1/2 A D^-1/2 with isolated-node guard (GCN.py:32-42)."""
+    deg = adj.sum(axis=1)
+    with np.errstate(divide="ignore"):
+        dinv = 1.0 / np.sqrt(deg)
+    dinv[np.isinf(dinv)] = 0.0
+    return np.eye(adj.shape[0]) + (dinv[:, None] * adj) * dinv[None, :]
+
+
+def _xavier(rng: np.random.Generator, n_in: int, n_out: int) -> np.ndarray:
+    limit = np.sqrt(6.0 / (n_in + n_out))
+    return rng.uniform(-limit, limit, (n_in, n_out))
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-np.clip(x, -35.0, 35.0)))
+
+
+class BlockEncoder:
+    """Train + embed one block. Deterministic given (inputs, seed)."""
+
+    def __init__(self, cfg: LinkageConfig, seed: int):
+        self.cfg = cfg
+        self.rng = np.random.default_rng(seed)
+
+    def fit_embed(
+        self,
+        layers: list[np.ndarray],   # [Wa, Wt, Wv] adjacency (combined not used here)
+        features: np.ndarray,       # (n, feature_dim)
+        u_i: np.ndarray,
+        u_j: np.ndarray,
+        labels: np.ndarray,
+    ) -> np.ndarray:
+        cfg = self.cfg
+        fusion = np.asarray(cfg.fusion) / cfg.fusion_denom
+        P = [gcn_matrix(a) @ features for a in layers[:3]]  # propagated inputs
+        d = features.shape[1]
+        W = [_xavier(self.rng, d, cfg.embed_dim) for _ in range(3)]
+
+        if len(u_i) == 0:
+            return self._forward(P, W, fusion)
+
+        # Adam state
+        m = [np.zeros_like(w) for w in W]
+        v = [np.zeros_like(w) for w in W]
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        lr, lam = cfg.learning_rate, cfg.l2_lambda
+        bs = cfg.train_batch_size
+        total = int(cfg.epochs_factor * len(u_i) / bs)
+        n_pairs = len(u_i)
+        t = 0
+        for step in range(total):
+            lo = (step * bs) % n_pairs
+            hi = lo + bs
+            if hi <= n_pairs:
+                bi, bj, bl = u_i[lo:hi], u_j[lo:hi], labels[lo:hi]
+            else:  # wraparound slicing, like the reference's modular slicing
+                bi = np.concatenate([u_i[lo:], u_i[: hi - n_pairs]])
+                bj = np.concatenate([u_j[lo:], u_j[: hi - n_pairs]])
+                bl = np.concatenate([labels[lo:], labels[: hi - n_pairs]])
+
+            Z = sum(f * (p @ w) for f, p, w in zip(fusion, P, W))
+            H = np.maximum(Z, 0.0)
+            hi_e, hj_e = H[bi], H[bj]
+            dot = np.einsum("ij,ij->i", hi_e, hj_e)
+            # d/ddot of -log σ(l·dot) = -l·(1-σ(l·dot))
+            g_dot = -bl * (1.0 - _sigmoid(bl * dot)) / len(bi)
+            dH = np.zeros_like(H)
+            np.add.at(dH, bi, g_dot[:, None] * hj_e)
+            np.add.at(dH, bj, g_dot[:, None] * hi_e)
+            dZ = dH * (Z > 0.0)
+            t += 1
+            for k in range(3):
+                g = fusion[k] * (P[k].T @ dZ) + lam * W[k]
+                m[k] = b1 * m[k] + (1 - b1) * g
+                v[k] = b2 * v[k] + (1 - b2) * g * g
+                mhat = m[k] / (1 - b1**t)
+                vhat = v[k] / (1 - b2**t)
+                W[k] -= lr * mhat / (np.sqrt(vhat) + eps)
+        return self._forward(P, W, fusion)
+
+    @staticmethod
+    def _forward(P: list[np.ndarray], W: list[np.ndarray], fusion: np.ndarray) -> np.ndarray:
+        Z = sum(f * (p @ w) for f, p, w in zip(fusion, P, W))
+        return np.maximum(Z, 0.0)

@@ -1,0 +1,163 @@
+"""Seeded metapath random walks with alias sampling (per-block, in-actor).
+
+Reimplements the reference walk semantics (SURVEY.md O1/O2; reference
+`name_disambiguation.py:29-58` alias method, `:439-532`/`:1035-1127`
+walks) on numpy adjacency matrices with an explicit
+`np.random.Generator`, making every walk a pure function of the block
+seed — the reference draws from the unseeded global `np.random` (§2.10
+nondeterminism, intentionally not replicated).
+
+Semantics preserved:
+  * per-layer neighbor samplers ∝ edge weight;
+  * negative samplers over the *combined* graph with hop-distance
+    weights (unreachable -> 6, self -> 0, distance <= 1 -> 0);
+  * numwalks=4 walks per node, walk j entering the metapath
+    [coauthor, cotitle, coauthor, covenue] at offset j;
+  * each step: one positive (start, neighbor), `negative_num` negatives,
+    a 2-hop lookahead positive in the next metapath layer with its own
+    negatives, then advance; dead-end layers emit negatives only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hgcn_name_disambiguation_ray.config import LinkageConfig
+
+
+class AliasTable:
+    """Walker's alias method: O(n) build, O(1) draws. Public algorithm."""
+
+    __slots__ = ("idx", "prob", "alias")
+
+    def __init__(self, weights: np.ndarray, idx: np.ndarray):
+        p = weights / weights.sum()
+        n = len(p)
+        self.idx = idx
+        scaled = p * n
+        self.prob = np.ones(n)
+        self.alias = np.arange(n)
+        small = [i for i in range(n) if scaled[i] < 1.0]
+        large = [i for i in range(n) if scaled[i] >= 1.0]
+        scaled = scaled.copy()
+        while small and large:
+            s, l = small.pop(), large.pop()
+            self.prob[s] = scaled[s]
+            self.alias[s] = l
+            scaled[l] = scaled[l] - (1.0 - scaled[s])
+            (small if scaled[l] < 1.0 else large).append(l)
+
+    def draw(self, rng: np.random.Generator) -> int:
+        n = len(self.prob)
+        i = int(rng.integers(0, n))
+        return int(self.idx[i]) if rng.random() < self.prob[i] else int(self.idx[self.alias[i]])
+
+    def draw_many(self, rng: np.random.Generator, k: int) -> np.ndarray:
+        n = len(self.prob)
+        i = rng.integers(0, n, size=k)
+        take_alias = rng.random(k) >= self.prob[i]
+        j = np.where(take_alias, self.alias[i], i)
+        return self.idx[j]
+
+
+def bfs_hop_distances(adj: np.ndarray) -> np.ndarray:
+    """All-pairs hop distance over the unweighted version of `adj`.
+
+    Returns float matrix with np.inf for unreachable pairs. Uses
+    repeated boolean frontier expansion (vectorized, O(diameter) matmuls).
+    """
+    n = adj.shape[0]
+    reach = adj > 0
+    dist = np.full((n, n), np.inf)
+    np.fill_diagonal(dist, 0.0)
+    cur = reach.copy()
+    d = 1
+    while d <= n:
+        newly = cur & np.isinf(dist)
+        if not newly.any():
+            break
+        dist[newly] = d
+        cur = cur @ reach  # boolean matmul: next frontier superset
+        d += 1
+    return dist
+
+
+def build_samplers(
+    layers: list[np.ndarray],
+) -> tuple[list[list[AliasTable | None]], list[AliasTable | None]]:
+    """Neighbor samplers per (layer, node) and negative samplers over the
+    last (combined) layer's hop-distance distribution."""
+    neighbor: list[list[AliasTable | None]] = []
+    for adj in layers:
+        per_node: list[AliasTable | None] = []
+        for i in range(adj.shape[0]):
+            w = adj[i]
+            nz = np.nonzero(w)[0]
+            per_node.append(AliasTable(w[nz], nz) if len(nz) else None)
+        neighbor.append(per_node)
+
+    combined = layers[-1]
+    dist = bfs_hop_distances(combined)
+    n = combined.shape[0]
+    negative: list[AliasTable | None] = []
+    for i in range(n):
+        d = dist[i].copy()
+        d[np.isinf(d)] = 6.0       # unreachable -> 6 (reference :1049)
+        d[i] = 0.0                  # self -> 0
+        d[d <= 1.0] = 0.0           # direct neighbors -> 0
+        nz = np.nonzero(d)[0]
+        negative.append(AliasTable(d[nz], nz) if len(nz) else None)
+    return neighbor, negative
+
+
+def metapath_walks(
+    layers: list[np.ndarray], cfg: LinkageConfig, rng: np.random.Generator
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Generate (u_i, u_j, label±1) training triples for one block."""
+    neighbor, negative = build_samplers(layers)
+    metapath = cfg.metapath
+    n = layers[-1].shape[0]
+    u_i: list[int] = []
+    u_j: list[int] = []
+    lab: list[int] = []
+
+    def negs(node: int) -> None:
+        sampler = negative[node]
+        if sampler is not None:
+            for _ in range(cfg.negative_num):
+                u_i.append(node)
+                u_j.append(sampler.draw(rng))
+                lab.append(-1)
+
+    for node_index in range(n):
+        for j in range(cfg.num_walks):
+            node_start = node_index
+            g_index = j % len(metapath)
+            gi = metapath[g_index]
+            for _ in range(cfg.walk_length):
+                sampler = neighbor[gi][node_start]
+                if sampler is not None:
+                    node_p = sampler.draw(rng)
+                    u_i.append(node_start)
+                    u_j.append(node_p)
+                    lab.append(1)
+                    negs(node_start)
+                    g_index = (g_index + 1) % len(metapath)
+                    gi = metapath[g_index]
+                    sampler2 = neighbor[gi][node_p]
+                    if sampler2 is not None:
+                        node_p1 = sampler2.draw(rng)
+                        u_i.append(node_start)
+                        u_j.append(node_p1)
+                        lab.append(1)
+                        negs(node_start)
+                    node_start = node_p
+                else:
+                    negs(node_start)
+                    g_index = (g_index + 1) % len(metapath)
+                    gi = metapath[g_index]
+    return (
+        np.asarray(u_i, dtype=np.int64),
+        np.asarray(u_j, dtype=np.int64),
+        np.asarray(lab, dtype=np.float64),
+    )

@@ -1,0 +1,58 @@
+"""Pairwise-F1 count identity vs the reference's O(n²) formula."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _reference_pairwise(correct, pred):
+    # literal transcription of the reference's loop semantics
+    # (name_disambiguation.py:111-133) for oracle purposes
+    TP = TP_FP = TP_FN = 0.0
+    n = len(correct)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if correct[i] == correct[j]:
+                TP_FN += 1
+            if pred[i] == pred[j]:
+                TP_FP += 1
+            if correct[i] == correct[j] and pred[i] == pred[j]:
+                TP += 1
+    if TP == 0:
+        return 0.0, 0.0, 0.0
+    p, r = TP / TP_FP, TP / TP_FN
+    return p, r, 2 * p * r / (p + r)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_count_identity_matches_reference_formula():
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.evaluate import pairwise_scores
+
+    rng = np.random.default_rng(7)
+    frames = []
+    expected = {}
+    for b in range(3):
+        n = int(rng.integers(5, 30))
+        true_l = rng.integers(0, 4, n)
+        pred_l = rng.integers(0, 4, n)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "block_key": f"b{b}",
+                    "person_id": [f"t{x}" for x in true_l],
+                    "cluster_id": [f"c{x}" for x in pred_l],
+                }
+            )
+        )
+        expected[f"b{b}"] = _reference_pairwise(list(true_l), list(pred_l))
+    labeled = rd.from_pandas(pd.concat(frames, ignore_index=True))
+    scores = pairwise_scores(labeled)
+    for b, (p, r, f) in expected.items():
+        row = scores[scores["block_key"] == b].iloc[0]
+        assert row["precision"] == pytest.approx(p)
+        assert row["recall"] == pytest.approx(r)
+        assert row["f1"] == pytest.approx(f)
+    macro = scores[scores["block_key"] == "__macro__"].iloc[0]
+    assert macro["f1"] == pytest.approx(np.mean([v[2] for v in expected.values()]))

@@ -1,0 +1,90 @@
+"""End-to-end conformance: F1 >= 0.99, salting, determinism, checkpoint resume."""
+
+import numpy as np
+import pytest
+
+
+def _run(spec_kwargs, cfg_kwargs, checkpoint_dir=None):
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.config import LinkageConfig
+    from hgcn_name_disambiguation_ray.fixtures import FixtureSpec, generate_fixture
+    from hgcn_name_disambiguation_ray.pipelines.linkage import (
+        clusters_with_truth,
+        run_linkage,
+    )
+    from hgcn_name_disambiguation_ray.stages.evaluate import pairwise_scores
+
+    tabs = generate_fixture(FixtureSpec(**spec_kwargs))
+    pages = rd.from_arrow(tabs["pages"])
+    clusters = run_linkage(
+        pages, LinkageConfig(**cfg_kwargs), checkpoint_dir=checkpoint_dir
+    )
+    labeled = clusters_with_truth(clusters, tabs["truth"])
+    return clusters, pairwise_scores(labeled)
+
+
+SPEC = dict(n_names=3, persons_per_name=3, docs_per_person=8, hot_name_factor=3)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_end_to_end_f1_conformance():
+    _, scores = _run(SPEC, {})
+    macro = scores[scores["block_key"] == "__macro__"].iloc[0]
+    assert macro["f1"] >= 0.99, scores.to_string()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_end_to_end_salted_f1_conformance():
+    # salt_cap below the hot block size forces salting + cross-salt closure
+    _, scores = _run(SPEC, {"salt_cap": 40})
+    macro = scores[scores["block_key"] == "__macro__"].iloc[0]
+    assert macro["f1"] >= 0.99, scores.to_string()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_deterministic_across_runs_and_salting():
+    c1, _ = _run(SPEC, {})
+    c2, _ = _run(SPEC, {})
+    df1 = c1.to_pandas().sort_values("mention_id").reset_index(drop=True)
+    df2 = c2.to_pandas().sort_values("mention_id").reset_index(drop=True)
+    assert (df1["cluster_id"] == df2["cluster_id"]).all()
+    # salted run must produce the same PARTITION (ids may differ)
+    c3, _ = _run(SPEC, {"salt_cap": 40})
+    df3 = c3.to_pandas().sort_values("mention_id").reset_index(drop=True)
+    for df in (df1, df3):
+        df["norm"] = df.groupby("cluster_id")["mention_id"].transform("min")
+    assert (df1["norm"] == df3["norm"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_checkpoint_resume(tmp_path):
+    import json
+
+    ck = str(tmp_path / "ckpt")
+    c1, _ = _run(SPEC, {}, checkpoint_dir=ck)
+    n1 = c1.to_pandas()
+    manifest = json.load(open(f"{ck}/mentions/_manifest.json"))
+    assert manifest["rows"] == len(n1)
+    stamp1 = manifest["written_at_epoch"]
+    # rerun: mentions stage must be read back, not recomputed
+    c2, _ = _run(SPEC, {}, checkpoint_dir=ck)
+    manifest2 = json.load(open(f"{ck}/mentions/_manifest.json"))
+    assert manifest2["written_at_epoch"] == stamp1  # untouched manifest = resumed
+    df1 = n1.sort_values("mention_id").reset_index(drop=True)
+    df2 = c2.to_pandas().sort_values("mention_id").reset_index(drop=True)
+    assert (df1["cluster_id"] == df2["cluster_id"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_write_clusters_partitioned(tmp_path):
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.pipelines.linkage import write_clusters
+
+    clusters, _ = _run(SPEC, {})
+    out = str(tmp_path / "clusters")
+    write_clusters(clusters, out)
+    back = rd.read_parquet(out).to_pandas()
+    assert len(back) == len(clusters.to_pandas())
+    assert "block_prefix" in back.columns
