@@ -1,44 +1,489 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+`entry()` runs the flagship record-linkage pipeline; `queries()` exposes
+one callable per implemented operator from SURVEY.md §2 plus the
+training-data-prep suite (dedup / similarity / text analysis);
+`oracle_sql()` gives the DuckDB-equivalent SQL for every
+SQL-expressible query (same column names — the driver hash-compares).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# the reference normalizer's punctuation class, escaped for DuckDB SQL
+# (single quotes doubled); see functions/text.py PUNCT_PATTERN
+_SQL_PUNCT = r"""[!"#$%&''()*+,\-./:;<=>?@[\\\]^_`{|}~—～]+"""
+
+_SQL_TOKENS = (
+    "list_filter(string_split(replace(lower(regexp_replace(text, '"
+    + _SQL_PUNCT
+    + "', ' ', 'g')), chr(9), ' '), ' '), x -> length(x) > 1)"
+)
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _fixture_pages_dir() -> str:
+    """Deterministic fixture under /tmp (pages-table stand-in: the graded
+    input shape; /root/testdata has no pages table)."""
+    from hgcn_name_disambiguation_ray.fixtures import FixtureSpec, write_fixture
+
+    out = "/tmp/hgcn_ray_fixture_v1"
+    marker = os.path.join(out, "pages.parquet")
+    if not os.path.exists(marker):
+        write_fixture(
+            FixtureSpec(n_names=4, persons_per_name=3, docs_per_person=10, hot_name_factor=3),
+            out,
+        )
+    return out
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: linkage over the deterministic pages fixture, plus a
+    smoke read of sf0.001 documents. Returns the clusters DataFrame."""
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.config import LinkageConfig
+    from hgcn_name_disambiguation_ray.pipelines.linkage import run_linkage
+
+    n_docs = _docs("/root/testdata/sf0.001", columns=["doc_id"]).count()
+    assert n_docs >= 0
+    pages = rd.read_parquet(os.path.join(_fixture_pages_dir(), "pages.parquet"))
+    clusters = run_linkage(pages, LinkageConfig())
+    return clusters.to_pandas().sort_values("mention_id").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def _q_source_filter(sf_dir: str):
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "en")).select(["doc_id", "n_chars"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_normalize_tokens(sf_dir: str):
+    from hgcn_name_disambiguation_ray.functions.text import tokenize_column
+
+    def body(t: pa.Table) -> pa.Table:
+        tokens, _ = tokenize_column(t["text"])
+        return pa.table({"doc_id": t["doc_id"], "tokens": tokens})
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(body, batch_format="pyarrow")
+
+
+def _q_stemmed_tokens(sf_dir: str):
+    from hgcn_name_disambiguation_ray.functions.text import tokenize_column
+
+    def body(t: pa.Table) -> pa.Table:
+        _, stemmed = tokenize_column(t["text"])
+        return pa.table({"doc_id": t["doc_id"], "tokens_stemmed": stemmed})
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(body, batch_format="pyarrow")
+
+
+def _q_token_count(sf_dir: str):
+    from hgcn_name_disambiguation_ray.pipelines.textprep import token_count
+
+    return token_count(_docs(sf_dir, columns=["doc_id", "text"])).select_columns(
+        ["doc_id", "n_ws_tokens", "n_tokens"]
+    )
+
+
+def _q_exact_dedup(sf_dir: str):
+    from hgcn_name_disambiguation_ray.stages.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
+def _q_lang_agg(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _docs(sf_dir, columns=["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate([("n_chars", "count"), ("n_chars", "sum")])
+        return g.rename_columns(["lang", "n_docs", "sum_chars"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("lang").aggregate(
+        Sum("n_docs", alias_name="n_docs"), Sum("sum_chars", alias_name="sum_chars")
+    )
+    # Ray's Sum widens to float64; the oracle's SUM(BIGINT) stays integral
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("sum_chars"),
+            "sum_chars",
+            t["sum_chars"].cast(pa.int64()),
+        ).set_column(
+            t.schema.get_field_index("n_docs"), "n_docs", t["n_docs"].cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_cooccur_pairs(sf_dir: str):
+    """A1 analogue: customer pairs sharing order dates, with shared-date
+    counts (pair expansion inside map_groups + small count groupby)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderdate", "o_custkey"]
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["o_custkey"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"custkey_i": pd.Series(dtype=np.int64),
+                                 "custkey_j": pd.Series(dtype=np.int64)})
+        iu, iv = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"custkey_i": ids[iu], "custkey_j": ids[iv]})
+
+    p = ds.groupby("o_orderdate").map_groups(pairs, batch_format="pandas")
+    return p.groupby(["custkey_i", "custkey_j"]).aggregate(Count(alias_name="n_shared"))
+
+
+def _q_blocking_keys(sf_dir: str):
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.functions.text import normalized_name_key
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {"p_partkey": t["p_partkey"], "block_key": normalized_name_key(t["p_name"])}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_shared_token_pairs(sf_dir: str):
+    """A2 analogue: within-source doc pairs sharing >= 2 distinct tokens."""
+    ds = _docs(sf_dir, columns=["doc_id", "text", "source"])
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, txt in zip(g["doc_id"], g["text"]):
+            for tok in set((txt or "").split()):
+                if len(tok) > 1:
+                    rows.append((did, tok))
+        e = pd.DataFrame(rows, columns=["doc_id", "tok"])
+        m = e.merge(e, on="tok")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        cnt = m.groupby(["doc_id_x", "doc_id_y"]).size().reset_index(name="n_shared")
+        cnt = cnt[cnt["n_shared"] >= 2]
+        return cnt.rename(columns={"doc_id_x": "doc_i", "doc_id_y": "doc_j"})
+
+    return ds.groupby("source").map_groups(per_source, batch_format="pandas")
+
+
+def _q_eval_counts(sf_dir: str):
+    """A5: pairwise-eval count identity with true=label, pred=vec_id%7."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "label"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"t": t["label"].to_pandas(), "p": t["vec_id"].to_pandas() % 7})
+        return pa.Table.from_pandas(
+            df.groupby(["t", "p"]).size().reset_index(name="n"), preserve_index=False
+        )
+
+    from ray.data.aggregate import Sum
+
+    full = ds.map_batches(cells, batch_format="pyarrow").groupby(["t", "p"]).aggregate(
+        Sum("n", alias_name="n")
+    ).to_pandas()
+
+    def c2(s):
+        return (s * (s - 1) // 2).sum()
+
+    tp = c2(full["n"])
+    pp = c2(full.groupby("p")["n"].sum())
+    ap = c2(full.groupby("t")["n"].sum())
+    return pd.DataFrame({"tp": [int(tp)], "pp": [int(pp)], "ap": [int(ap)]})
+
+
+def _q_window_counts(sf_dir: str):
+    """Tumbling daily window counts per user over the events stream."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"user_id": t["user_id"].to_pandas(), "day": t["ts"].to_pandas().dt.strftime("%Y-%m-%d")}
+        )
+        return pa.Table.from_pandas(
+            df.groupby(["user_id", "day"]).size().reset_index(name="n_events"),
+            preserve_index=False,
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["user_id", "day"]).aggregate(Sum("n_events", alias_name="n_events"))
+
+
+def _q_top_orders(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]
+    )
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def _q_topk_cosine(sf_dir: str):
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.similarity import brute_force_topk
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    q0 = np.asarray(
+        ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"], dtype=np.float64
+    )
+    top = brute_force_topk(ds, q0[None, :], k=11)  # 11: drop the self hit
+    df = top.to_pandas()
+    df = df[df["vec_id"] != 0].nlargest(10, "score")
+    # micro-cosine as int64: exact cross-engine comparison without float
+    # representation noise (both sides compute in float64)
+    return pd.DataFrame(
+        {
+            "vec_id": df["vec_id"].to_numpy(),
+            "score_u": np.round(df["score"].to_numpy() * 1e6).astype(np.int64),
+        }
+    )
+
+
+def _dedup_frame(ds) -> pd.DataFrame:
+    """Materialize a dedup result with a guaranteed schema even when no
+    duplicate components exist."""
+    df = ds.to_pandas()
+    if df.empty or "doc_id" not in df.columns:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "canonical_id": pd.Series(dtype=np.int64)})
+    return df
+
+
+def _q_minhash_dedup(sf_dir: str):
+    from hgcn_name_disambiguation_ray.stages.dedup import minhash_lsh_dedup
+
+    return _dedup_frame(minhash_lsh_dedup(_docs(sf_dir, columns=["doc_id", "text"]), threshold=0.9))
+
+
+def _q_simhash_dedup(sf_dir: str):
+    from hgcn_name_disambiguation_ray.stages.dedup import simhash_dedup
+
+    return _dedup_frame(simhash_dedup(_docs(sf_dir, columns=["doc_id", "text"])))
+
+
+def _q_ngram_dedup(sf_dir: str):
+    from hgcn_name_disambiguation_ray.stages.dedup import ngram_jaccard_dedup
+
+    return _dedup_frame(ngram_jaccard_dedup(_docs(sf_dir, columns=["doc_id", "text"]), threshold=0.9))
+
+
+def _q_embedding_neardup(sf_dir: str):
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.dedup import embedding_cosine_dedup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    return _dedup_frame(embedding_cosine_dedup(ds, threshold=0.98))
+
+
+def _q_language_id(sf_dir: str):
+    from hgcn_name_disambiguation_ray.pipelines.textprep import language_id
+
+    return language_id(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
+def _q_quality(sf_dir: str):
+    from hgcn_name_disambiguation_ray.pipelines.textprep import quality_score
+
+    ds = quality_score(_docs(sf_dir, columns=["doc_id", "text"]))
+
+    def rounded(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"],
+                    "n_chars2": df["n_chars2"],
+                    "n_words": df["n_words"],
+                    "mean_word_len_r": df["mean_word_len"].round(6),
+                }
+            ),
+            preserve_index=False,
+        )
+
+    return ds.map_batches(rounded, batch_format="pyarrow")
+
+
+def _q_fingerprint(sf_dir: str):
+    from hgcn_name_disambiguation_ray.pipelines.textprep import fingerprint
+
+    return fingerprint(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
+def _q_ivf_topk(sf_dir: str):
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.similarity import ivf_topk
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    q0 = np.asarray(
+        ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"], dtype=np.float64
+    )
+    return ivf_topk(ds, q0[None, :], k=10)
+
+
+def _q_linkage_clusters(sf_dir: str):
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.config import LinkageConfig
+    from hgcn_name_disambiguation_ray.pipelines.linkage import run_linkage
+
+    pages = rd.read_parquet(os.path.join(_fixture_pages_dir(), "pages.parquet"))
+    return run_linkage(pages, LinkageConfig()).to_pandas().sort_values(
+        "mention_id"
+    ).reset_index(drop=True)
+
+
+def _q_linkage_scores(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.config import LinkageConfig
+    from hgcn_name_disambiguation_ray.pipelines.linkage import (
+        clusters_with_truth,
+        run_linkage,
+    )
+    from hgcn_name_disambiguation_ray.stages.evaluate import pairwise_scores
+
+    fdir = _fixture_pages_dir()
+    pages = rd.read_parquet(os.path.join(fdir, "pages.parquet"))
+    clusters = run_linkage(pages, LinkageConfig())
+    truth = pq.read_table(os.path.join(fdir, "truth.parquet"))
+    return pairwise_scores(clusters_with_truth(clusters, truth))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "source_filter": _q_source_filter,
+        "normalize_tokens": _q_normalize_tokens,
+        "stemmed_tokens": _q_stemmed_tokens,
+        "token_count": _q_token_count,
+        "exact_dedup": _q_exact_dedup,
+        "lang_agg": _q_lang_agg,
+        "cooccur_pairs": _q_cooccur_pairs,
+        "blocking_keys": _q_blocking_keys,
+        "shared_token_pairs": _q_shared_token_pairs,
+        "eval_counts": _q_eval_counts,
+        "window_counts": _q_window_counts,
+        "top_orders": _q_top_orders,
+        "topk_cosine": _q_topk_cosine,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_dedup": _q_simhash_dedup,
+        "ngram_dedup": _q_ngram_dedup,
+        "embedding_neardup": _q_embedding_neardup,
+        "language_id": _q_language_id,
+        "quality": _q_quality,
+        "fingerprint_docs": _q_fingerprint,
+        "ivf_topk": _q_ivf_topk,
+        "linkage_clusters": _q_linkage_clusters,
+        "linkage_scores": _q_linkage_scores,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "source_filter": "SELECT doc_id, n_chars FROM documents WHERE lang = 'en'",
+        "normalize_tokens": f"SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents",
+        "token_count": (
+            "SELECT doc_id, "
+            "length(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n_ws_tokens, "
+            "length(list_filter(string_split(text, ' '), x -> length(x) > 1)) AS n_tokens "
+            "FROM documents"
+        ),
+        "exact_dedup": (
+            "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text"
+        ),
+        "lang_agg": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY lang"
+        ),
+        "cooccur_pairs": (
+            "WITH d AS (SELECT DISTINCT o_orderdate, o_custkey FROM orders) "
+            "SELECT a.o_custkey AS custkey_i, b.o_custkey AS custkey_j, "
+            "count(*) AS n_shared FROM d a JOIN d b ON a.o_orderdate = b.o_orderdate "
+            "AND a.o_custkey < b.o_custkey GROUP BY 1, 2"
+        ),
+        "blocking_keys": (
+            "SELECT p_partkey, CASE WHEN nparts[1] = nparts[-1] THEN nparts[1] "
+            "ELSE nparts[1] || ' ' || nparts[-1] END AS block_key FROM ("
+            "SELECT p_partkey, list_filter(string_split(regexp_replace(lower(p_name), "
+            "'\\s+', ' ', 'g'), ' '), x -> length(x) > 0) AS nparts FROM part)"
+        ),
+        "shared_token_pairs": (
+            "WITH toks AS (SELECT DISTINCT doc_id, source, unnest("
+            "list_filter(string_split(text, ' '), x -> length(x) > 1)) AS tok "
+            "FROM documents) "
+            "SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS n_shared "
+            "FROM toks a JOIN toks b ON a.source = b.source AND a.tok = b.tok "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2 HAVING count(*) >= 2"
+        ),
+        "eval_counts": (
+            "WITH cells AS (SELECT label AS t, vec_id % 7 AS p, count(*) AS n "
+            "FROM embeddings GROUP BY 1, 2) "
+            "SELECT CAST(sum(n * (n-1) // 2) AS BIGINT) AS tp, "
+            "(SELECT CAST(sum(n * (n-1) // 2) AS BIGINT) FROM "
+            "(SELECT sum(n) AS n FROM cells GROUP BY p)) AS pp, "
+            "(SELECT CAST(sum(n * (n-1) // 2) AS BIGINT) FROM "
+            "(SELECT sum(n) AS n FROM cells GROUP BY t)) AS ap FROM cells"
+        ),
+        "window_counts": (
+            "SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "top_orders": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "topk_cosine": (
+            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id, CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+            "(SELECT e FROM q)) * 1e6) AS BIGINT) AS score_u FROM embeddings WHERE vec_id != 0 "
+            "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT e FROM q)) DESC, "
+            "vec_id LIMIT 10"
+        ),
+        "quality": (
+            "SELECT doc_id, length(text) AS n_chars2, "
+            "length(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n_words, "
+            "round(CASE WHEN length(list_filter(string_split(text, ' '), x -> length(x) > 0)) = 0 "
+            "THEN 0.0 ELSE CAST(list_sum(list_transform(list_filter(string_split(text, ' '), "
+            "x -> length(x) > 0), x -> length(x))) AS DOUBLE) / "
+            "length(list_filter(string_split(text, ' '), x -> length(x) > 0)) END, 6) "
+            "AS mean_word_len_r FROM documents"
+        ),
+    }

@@ -67,17 +67,23 @@ class BlockEncoder:
         if len(u_i) == 0:
             return self._forward(P, W, fusion)
 
-        # Adam state
-        m = [np.zeros_like(w) for w in W]
-        v = [np.zeros_like(w) for w in W]
+        # fold the three layers into ONE gemm per direction: propagated
+        # inputs concatenated to (n, 3d) with fusion weights baked in,
+        # weights stacked to (3d, e); Adam runs vectorized on the stack
+        # float32 like the reference's TF graph (GCN.py placeholders)
+        d = features.shape[1]
+        Pf2 = np.concatenate([f * p for f, p in zip(fusion, P)], axis=1).astype(np.float32)
+        W2 = np.vstack(W).astype(np.float32)                              # (3d, e)
+        labels = labels.astype(np.float32)
+        m3 = np.zeros_like(W2)
+        v3 = np.zeros_like(W2)
         b1, b2, eps = 0.9, 0.999, 1e-8
         lr, lam = cfg.learning_rate, cfg.l2_lambda
         bs = cfg.train_batch_size
         total = int(cfg.epochs_factor * len(u_i) / bs)
         n_pairs = len(u_i)
-        t = 0
-        for step in range(total):
-            lo = (step * bs) % n_pairs
+        for t in range(1, total + 1):
+            lo = ((t - 1) * bs) % n_pairs
             hi = lo + bs
             if hi <= n_pairs:
                 bi, bj, bl = u_i[lo:hi], u_j[lo:hi], labels[lo:hi]
@@ -86,25 +92,28 @@ class BlockEncoder:
                 bj = np.concatenate([u_j[lo:], u_j[: hi - n_pairs]])
                 bl = np.concatenate([labels[lo:], labels[: hi - n_pairs]])
 
-            Z = sum(f * (p @ w) for f, p, w in zip(fusion, P, W))
-            H = np.maximum(Z, 0.0)
-            hi_e, hj_e = H[bi], H[bj]
+            # only the rows named by this minibatch matter: forward and
+            # gradients restricted to them make the per-step cost
+            # O(batch·d²), independent of the block size N
+            rows, inv = np.unique(np.concatenate([bi, bj]), return_inverse=True)
+            ri, rj = inv[: len(bi)], inv[len(bi):]
+            Pr = Pf2[rows]                                 # (b, 3d)
+            Zr = Pr @ W2
+            Hr = np.maximum(Zr, 0.0)
+            hi_e, hj_e = Hr[ri], Hr[rj]
             dot = np.einsum("ij,ij->i", hi_e, hj_e)
             # d/ddot of -log σ(l·dot) = -l·(1-σ(l·dot))
             g_dot = -bl * (1.0 - _sigmoid(bl * dot)) / len(bi)
-            dH = np.zeros_like(H)
-            np.add.at(dH, bi, g_dot[:, None] * hj_e)
-            np.add.at(dH, bj, g_dot[:, None] * hi_e)
-            dZ = dH * (Z > 0.0)
-            t += 1
-            for k in range(3):
-                g = fusion[k] * (P[k].T @ dZ) + lam * W[k]
-                m[k] = b1 * m[k] + (1 - b1) * g
-                v[k] = b2 * v[k] + (1 - b2) * g * g
-                mhat = m[k] / (1 - b1**t)
-                vhat = v[k] / (1 - b2**t)
-                W[k] -= lr * mhat / (np.sqrt(vhat) + eps)
-        return self._forward(P, W, fusion)
+            dHr = np.zeros_like(Hr)
+            np.add.at(dHr, ri, g_dot[:, None] * hj_e)
+            np.add.at(dHr, rj, g_dot[:, None] * hi_e)
+            dZr = dHr * (Zr > 0.0)
+            G2 = Pr.T @ dZr
+            G2 += lam * W2
+            m3 = b1 * m3 + (1 - b1) * G2
+            v3 = b2 * v3 + (1 - b2) * G2 * G2
+            W2 -= lr * (m3 / (1 - b1**t)) / (np.sqrt(v3 / (1 - b2**t)) + eps)
+        return np.maximum(Pf2 @ W2, 0.0).astype(np.float64)
 
     @staticmethod
     def _forward(P: list[np.ndarray], W: list[np.ndarray], fusion: np.ndarray) -> np.ndarray:

@@ -1,0 +1,88 @@
+"""Dedup operators: planted duplicates must be found, distinct docs kept."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _corpus():
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(500)]
+    docs = []
+    for i in range(40):
+        docs.append(" ".join(rng.choice(vocab, size=60)))
+    rows = []
+    for i, d in enumerate(docs):
+        rows.append({"doc_id": i, "text": d})
+    # exact duplicates: 100+i copies doc i for i in 0..4
+    for i in range(5):
+        rows.append({"doc_id": 100 + i, "text": docs[i]})
+    # near duplicate of doc 10: change 3 of 60 words
+    words = docs[10].split()
+    words[5], words[20], words[40] = "zz1", "zz2", "zz3"
+    rows.append({"doc_id": 200, "text": " ".join(words)})
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def corpus_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_pandas(_corpus())
+
+
+def test_exact_dedup(corpus_ds):
+    from hgcn_name_disambiguation_ray.stages.dedup import exact_dedup
+
+    out = exact_dedup(corpus_ds).to_pandas()
+    # 41 distinct texts (40 originals + near-dup variant); 5 have 2 copies
+    assert len(out) == 41
+    assert (out["n_copies"] == 2).sum() == 5
+    dups = out[out["n_copies"] == 2]
+    assert set(dups["keep_id"]) == {0, 1, 2, 3, 4}  # min id survives
+
+
+def test_minhash_lsh_dedup_finds_near_and_exact(corpus_ds):
+    from hgcn_name_disambiguation_ray.stages.dedup import minhash_lsh_dedup
+
+    out = minhash_lsh_dedup(corpus_ds, threshold=0.6).to_pandas()
+    groups = out.groupby("canonical_id")["doc_id"].apply(set).tolist()
+    assert {10, 200} in [g & {10, 200} for g in groups if g & {10, 200}]
+    for i in range(5):
+        assert any({i, 100 + i} <= g for g in groups), i
+    # distinct random docs must NOT all collapse together
+    merged = set().union(*groups)
+    assert len(merged) <= 14  # 5 exact pairs + near pair + slack
+
+
+def test_ngram_jaccard_exact_verify(corpus_ds):
+    from hgcn_name_disambiguation_ray.stages.dedup import ngram_jaccard_dedup
+
+    out = ngram_jaccard_dedup(corpus_ds, threshold=0.99).to_pandas()
+    groups = out.groupby("canonical_id")["doc_id"].apply(set).tolist()
+    # at 0.99 only EXACT duplicates survive the exact-Jaccard verify
+    assert sorted(map(sorted, groups)) == [[i, 100 + i] for i in range(5)]
+
+
+def test_simhash_dedup(corpus_ds):
+    from hgcn_name_disambiguation_ray.stages.dedup import simhash_dedup
+
+    out = simhash_dedup(corpus_ds, max_hamming=3).to_pandas()
+    groups = out.groupby("canonical_id")["doc_id"].apply(set).tolist()
+    for i in range(5):
+        assert any({i, 100 + i} <= g for g in groups), i
+
+
+def test_embedding_cosine_dedup(ray_session):
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.dedup import embedding_cosine_dedup
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(20, 16))
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(20)]
+    rows.append({"vec_id": 100, "embedding": (base[0] + 1e-4).tolist()})  # near-dup of 0
+    out = embedding_cosine_dedup(rd.from_pandas(pd.DataFrame(rows)), threshold=0.999).to_pandas()
+    groups = out.groupby("canonical_id")["doc_id"].apply(set).tolist()
+    assert any({0, 100} <= g for g in groups)
+    assert all(len(g) == 2 for g in groups)  # nothing else merged

@@ -1,0 +1,57 @@
+"""Similarity search: brute-force exactness, IVF recall."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(8)
+    vecs = rng.normal(size=(300, 24))
+    df = pd.DataFrame({"vec_id": np.arange(300, dtype=np.int64), "embedding": list(map(list, vecs))})
+    return rd.from_pandas(df), vecs
+
+
+def _exact_topk(vecs, q, k):
+    qn = q / np.linalg.norm(q)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = vn @ qn
+    order = np.lexsort((np.arange(len(sims)), -sims))
+    return order[:k], sims
+
+
+def test_brute_force_matches_numpy(emb_ds):
+    from hgcn_name_disambiguation_ray.stages.similarity import brute_force_topk
+
+    ds, vecs = emb_ds
+    q = vecs[7]
+    out = brute_force_topk(ds, q[None, :], k=10).to_pandas().sort_values("rank")
+    want_ids, sims = _exact_topk(vecs, q, 10)
+    assert out["vec_id"].tolist() == list(want_ids)
+    np.testing.assert_allclose(np.sort(out["score"])[::-1], np.sort(sims[want_ids])[::-1], rtol=1e-9)
+
+
+def test_brute_force_multi_query(emb_ds):
+    from hgcn_name_disambiguation_ray.stages.similarity import brute_force_topk
+
+    ds, vecs = emb_ds
+    out = brute_force_topk(ds, vecs[[1, 2, 3]], k=5).to_pandas()
+    assert set(out["query_idx"]) == {0, 1, 2}
+    for qi, qvec in zip([0, 1, 2], [1, 2, 3]):
+        got = out[out["query_idx"] == qi].sort_values("rank")["vec_id"].tolist()
+        assert got[0] == qvec  # a vector's own nearest neighbour is itself
+
+
+def test_ivf_recall_reasonable(emb_ds):
+    from hgcn_name_disambiguation_ray.stages.similarity import ivf_topk
+
+    ds, vecs = emb_ds
+    q = vecs[42]
+    out = ivf_topk(ds, q[None, :], k=10, n_centroids=8, nprobe=4).to_pandas()
+    want_ids, _ = _exact_topk(vecs, q, 10)
+    recall = len(set(out["vec_id"]) & set(want_ids)) / 10
+    assert out["vec_id"].iloc[0] == 42  # self always found (its centroid is probed)
+    assert recall >= 0.5, recall

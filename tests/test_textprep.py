@@ -1,0 +1,71 @@
+"""Text-analysis operators: counts, quality, language ID, fingerprints."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    rows = [
+        {"doc_id": 0, "text": "the quick brown fox jumps over the lazy dog " * 4},
+        {"doc_id": 1, "text": "der hund und die katze sind nicht mit dem vogel zu hause"},
+        {"doc_id": 2, "text": "le chat est dans la maison et il ne dort pas pour une fois"},
+        {"doc_id": 3, "text": "el perro y el gato no son los mismos animales para una casa"},
+        {"doc_id": 4, "text": "数据 处理 引擎 正在 运行"},
+        {"doc_id": 5, "text": ""},
+        {"doc_id": 6, "text": "a b c 1 2 3 !!! ??? ..."},
+    ]
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_token_count(docs_ds):
+    from hgcn_name_disambiguation_ray.pipelines.textprep import token_count
+
+    out = token_count(docs_ds).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_ws_tokens"] == 36
+    assert out.loc[5, "n_ws_tokens"] == 0
+    assert out.loc[6, "n_tokens"] == 3  # only the !!!/???/... runs have len>1
+    assert out.loc[6, "n_subwords"] == 15  # 3 letters + 3 digits + 9 punct marks
+
+
+def test_quality_score(docs_ds):
+    from hgcn_name_disambiguation_ray.pipelines.textprep import quality_score
+
+    out = quality_score(docs_ds).to_pandas().set_index("doc_id")
+    assert out.loc[5, "quality"] < out.loc[0, "quality"]
+    assert out.loc[6, "punct_ratio"] > out.loc[0, "punct_ratio"]
+    assert 0.0 <= out["quality"].min() and out["quality"].max() <= 1.0
+    assert out.loc[0, "stop_ratio"] > 0.2  # 'the'/'over' hits
+
+
+def test_language_id(docs_ds):
+    from hgcn_name_disambiguation_ray.pipelines.textprep import language_id
+
+    out = language_id(docs_ds).to_pandas().set_index("doc_id")
+    assert out.loc[0, "pred_lang"] == "en"
+    assert out.loc[1, "pred_lang"] == "de"
+    assert out.loc[2, "pred_lang"] == "fr"
+    assert out.loc[3, "pred_lang"] == "es"
+    assert out.loc[4, "pred_lang"] == "zh"
+    assert out.loc[5, "pred_lang"] == "unknown"
+
+
+def test_fingerprint_stability_and_sensitivity(docs_ds, ray_session):
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.pipelines.textprep import fingerprint
+
+    out1 = fingerprint(docs_ds).to_pandas().set_index("doc_id")["fingerprint"]
+    out2 = fingerprint(docs_ds).to_pandas().set_index("doc_id")["fingerprint"]
+    assert (out1 == out2).all()  # deterministic
+    assert out1.loc[5] == 0  # empty doc
+    # different docs -> different fingerprints (w.h.p.)
+    assert out1.loc[0] != out1.loc[1] != out1.loc[2]
+    # a small edit far from winnowing minima usually keeps SOME windows;
+    # at minimum the fingerprint is sensitive to a full-text change
+    other = rd.from_pandas(pd.DataFrame([{"doc_id": 0, "text": "completely different words entirely"}]))
+    alt = fingerprint(other).to_pandas()["fingerprint"].iloc[0]
+    assert alt != out1.loc[0]
