@@ -143,9 +143,12 @@ def _q_lang_agg(sf_dir: str):
 
 def _q_cooccur_pairs(sf_dir: str):
     """A1 analogue: customer pairs sharing order dates, with shared-date
-    counts (pair expansion inside map_groups + small count groupby)."""
+    counts. The pair space is high-cardinality (millions of groups), so
+    the count runs through the bucketed-groupby pattern instead of Ray's
+    per-group sort aggregate."""
     import ray.data as rd
-    from ray.data.aggregate import Count
+
+    from hgcn_name_disambiguation_ray.stages.groupagg import bucketed_count
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderdate", "o_custkey"]
@@ -160,7 +163,7 @@ def _q_cooccur_pairs(sf_dir: str):
         return pd.DataFrame({"custkey_i": ids[iu], "custkey_j": ids[iv]})
 
     p = ds.groupby("o_orderdate").map_groups(pairs, batch_format="pandas")
-    return p.groupby(["custkey_i", "custkey_j"]).aggregate(Count(alias_name="n_shared"))
+    return bucketed_count(p, ["custkey_i", "custkey_j"], out_col="n_shared", n_buckets=64)
 
 
 def _q_blocking_keys(sf_dir: str):
@@ -358,6 +361,162 @@ def _q_ivf_topk(sf_dir: str):
     return ivf_topk(ds, q0[None, :], k=10)
 
 
+def _q_cust_nation_join(sf_dir: str):
+    """Broadcast join (SURVEY J3 pattern): nation+region (small sides,
+    ray.put once) into the customer scan; aggregate per nation name."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    nation = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))[
+        ["n_nationkey", "n_name", "n_regionkey"]
+    ]
+    region = pd.read_parquet(os.path.join(sf_dir, "region.parquet"))[["r_regionkey", "r_name"]]
+    lookup = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "n_name", "r_name"]
+    ]
+    ref = ray.put(lookup)
+
+    class JoinNation:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = t.to_pandas().merge(self.lookup, left_on="c_nationkey", right_on="n_nationkey")
+            g = df.groupby(["r_name", "n_name"], as_index=False).agg(n_cust=("c_custkey", "size"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    partials = cust.map_batches(JoinNation, fn_constructor_args=(ref,),
+                                batch_format="pyarrow", concurrency=(1, 4))
+    agg = partials.groupby(["r_name", "n_name"]).aggregate(Sum("n_cust", alias_name="n_cust"))
+    return agg.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("n_cust"), "n_cust",
+                               t["n_cust"].cast(pa.int64())),
+        batch_format="pyarrow",
+    )
+
+
+def _q_top_customers(sf_dir: str):
+    """Order counts per customer (partial-agg + shuffle) joined with the
+    broadcast customer-name side; deterministic top 10."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return g.rename_columns(["o_custkey", "n_orders"])
+
+    counts = orders.map_batches(partial, batch_format="pyarrow").groupby(
+        "o_custkey"
+    ).aggregate(Sum("n_orders", alias_name="n_orders"))
+    top = counts.sort(["n_orders", "o_custkey"], descending=[True, False]).limit(10).to_pandas()
+    names = pd.read_parquet(os.path.join(sf_dir, "customer.parquet"))[["c_custkey", "c_name"]]
+    out = top.merge(names, left_on="o_custkey", right_on="c_custkey")[
+        ["o_custkey", "c_name", "n_orders"]
+    ]
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out
+
+
+def _q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-shaped pruned scan + partial aggregation; integral sums
+    only (float sums are not hash-comparable across engines)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count")]
+        )
+        return g.rename_columns(["l_returnflag", "l_linestatus", "sum_qty", "n_rows"])
+
+    agg = li.map_batches(partial, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(Sum("sum_qty", alias_name="sum_qty"), Sum("n_rows", alias_name="n_rows"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pc_round_int(t["sum_qty"]),
+                "n_rows": t["n_rows"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def pc_round_int(col: pa.ChunkedArray) -> pa.Array:
+    import pyarrow.compute as pc
+
+    return pc.round(col).cast(pa.int64())
+
+
+def _q_sessionize(sf_dir: str):
+    """Stateful streaming window: per-user session count with a 30-minute
+    inactivity gap (groupby user -> sorted per-group scan)."""
+    import ray.data as rd
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values().to_numpy()
+        gaps_us = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [int((gaps_us > 1800 * 1_000_000).sum()) + 1],
+                "n_events": [len(ts)],
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def _q_multimodal_features(sf_dir: str):
+    """Multimodal plumbing over deterministic fake payloads derived from
+    the documents table (no codec libs in this container; DecodeImage
+    runs its clearly-marked deterministic stub)."""
+    from hgcn_name_disambiguation_ray.stages.multimodal import decode_resize_featurize
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"]).limit(200)
+
+    def to_items(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        return pa.table(
+            {
+                "item_id": pa.array([f"img-{i}" for i in ids], type=pa.string()),
+                "payload": pa.array([(x or "").encode()[:4096] for x in texts], type=pa.binary()),
+                "mime": pa.array(["image/fake"] * len(ids), type=pa.string()),
+                "width": pa.array([16 + (i % 7) for i in ids], type=pa.int32()),
+                "height": pa.array([16 + (i % 5) for i in ids], type=pa.int32()),
+            }
+        )
+
+    items = docs.map_batches(to_items, batch_format="pyarrow")
+    feats = decode_resize_featurize(items, out_w=4, out_h=4, fake=True)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        sums = [int(np.round(np.sum(f) * 1e3)) for f in t["features"].to_pylist()]
+        return pa.table(
+            {"item_id": t["item_id"], "feat_sum_milli": pa.array(sums, type=pa.int64())}
+        )
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
+
+
 def _q_linkage_clusters(sf_dir: str):
     import ray.data as rd
 
@@ -411,6 +570,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _q_quality,
         "fingerprint_docs": _q_fingerprint,
         "ivf_topk": _q_ivf_topk,
+        "cust_nation_join": _q_cust_nation_join,
+        "top_customers": _q_top_customers,
+        "lineitem_agg": _q_lineitem_agg,
+        "sessionize": _q_sessionize,
+        "multimodal_features": _q_multimodal_features,
         "linkage_clusters": _q_linkage_clusters,
         "linkage_scores": _q_linkage_scores,
     }
@@ -461,6 +625,29 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT sum(n) AS n FROM cells GROUP BY p)) AS pp, "
             "(SELECT CAST(sum(n * (n-1) // 2) AS BIGINT) FROM "
             "(SELECT sum(n) AS n FROM cells GROUP BY t)) AS ap FROM cells"
+        ),
+        "cust_nation_join": (
+            "SELECT r_name, n_name, count(*) AS n_cust FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2"
+        ),
+        "top_customers": (
+            "WITH cnt AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1) "
+            "SELECT o_custkey, c_name, n_orders FROM cnt "
+            "JOIN customer ON o_custkey = c_custkey "
+            "ORDER BY n_orders DESC, o_custkey LIMIT 10"
+        ),
+        "lineitem_agg": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty, "
+            "count(*) AS n_rows FROM lineitem GROUP BY 1, 2"
+        ),
+        "sessionize": (
+            "WITH g AS (SELECT user_id, ts, CASE WHEN epoch(ts - lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts)) > 1800 THEN 1 ELSE 0 END AS brk "
+            "FROM events) "
+            "SELECT user_id, CAST(sum(brk) + 1 AS BIGINT) AS n_sessions, "
+            "count(*) AS n_events FROM g GROUP BY user_id"
         ),
         "window_counts": (
             "SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events "

@@ -33,10 +33,9 @@ from hgcn_name_disambiguation_ray.stages.blocking import (
     AssignSalt,
     add_block_keys,
     block_counts,
-    cross_salt_merge_edges,
+    hot_cluster_roots,
     make_salt_map,
 )
-from hgcn_name_disambiguation_ray.stages.closure import connected_components
 from hgcn_name_disambiguation_ray.stages.extract import extract_batch
 from hgcn_name_disambiguation_ray.stages.scorer import BlockScorer
 
@@ -97,6 +96,13 @@ def run_linkage(
         concurrency=(1, 8),
     )
 
+    # the shuffle's output-partition count follows its INPUT block count;
+    # small inputs otherwise collapse to a handful of partitions and the
+    # scorer (the dominant stage) loses its parallelism. ~4x cluster CPUs
+    # keeps every core busy and bounds straggler tails at any scale.
+    n_parts = max(8, 4 * int(ray.cluster_resources().get("CPU", 8)))
+    salted = salted.repartition(n_parts)
+
     clusters = salted.groupby(["block_key", "salt"]).map_groups(
         BlockScorer,
         fn_constructor_args=(cfg,),
@@ -108,11 +114,16 @@ def run_linkage(
     if not salt_map:
         return clusters.select_columns(out_cols)
 
+    # the scorer output feeds BOTH the cross-salt edge derivation and the
+    # final relabel below — pin it so the scorer pass runs exactly once
+    clusters = clusters.materialize()
+
     # --- hot keys were split: merge sub-block LOCAL CLUSTERS transitively.
-    # Edges exist between cluster ids of the same hot key that share >= 2
-    # distinct merge signals (coentity / LSH band); connected components
-    # over this (tiny) cluster graph give the canonical id; the root map
-    # (one row per merged hot cluster) is broadcast for the final relabel.
+    # Clusters of the same hot key merge when they share >= 2 distinct
+    # merge signals (coentity / LSH band) across salts; merges never cross
+    # block keys, so the whole merge is ONE groupby(block_key) over
+    # cluster representatives (hot_cluster_roots). The root map (one row
+    # per merged hot cluster) is broadcast for the final relabel.
     hot_keys = set(salt_map)
 
     def hot_filter(t: pa.Table) -> pa.Table:
@@ -121,11 +132,8 @@ def run_linkage(
         return t.filter(pc.is_in(t["block_key"], value_set=pa.array(sorted(hot_keys))))
 
     hot_clusters = clusters.map_batches(hot_filter, batch_format="pyarrow")
-    edges = cross_salt_merge_edges(hot_clusters, cfg).select_columns(["u", "v"])
-    comps = connected_components(edges)
-    root_map = {
-        r["mention_id"]: r["component"] for r in comps.to_pandas().to_dict("records")
-    }  # keys are cluster ids here (closure is id-agnostic); small by construction
+    roots_df = hot_cluster_roots(hot_clusters, cfg).to_pandas()
+    root_map = dict(zip(roots_df["cluster_id"], roots_df["root"]))
     root_ref = ray.put(root_map)
 
     class Relabel:

@@ -13,14 +13,15 @@ Replaces the reference's implicit "one XML file per name" blocking
      the salt map is broadcast once via `ray.put`, read per actor, never
      re-shipped per batch. Analogue of the reference's max_works=100 cap
      (`openAlex_to_HGCN.py:453`).
-  4. `cross_salt_merge_edges` — for salted blocks only, mentions emit
-     merge keys: one per coentity (the reference's co-author edge signal,
-     Ga) and one per MinHash/LSH band over tokens_stemmed (the scale
-     generalization of the ∩>=2-stemmed-token rule, `:420-424`).
-     Groups spanning >1 salt contribute star edges (min mention id as
-     hub), which the transitive-closure stage merges. Partitioning
-     assumption documented here: two sub-blocks of the same hot key are
-     the same entity iff they share a coentity or an LSH band.
+  4. `hot_cluster_roots` — for salted blocks only, local clusters carry
+     merge signals: their coentities (the reference's co-author edge
+     signal, Ga) and MinHash/LSH bands over their stemmed-token union
+     (the scale generalization of the ∩>=2-stemmed-token rule,
+     `:420-424`). Clusters of the same hot key sharing >= 2 distinct
+     signals across salts merge transitively (per-key union-find over
+     cluster REPRESENTATIVES, one shuffle). Partitioning assumption
+     documented here: two sub-blocks of the same hot key are the same
+     entity iff they share a coentity or an LSH band.
 """
 
 from __future__ import annotations
@@ -96,101 +97,98 @@ class AssignSalt:
         return batch.append_column("salt", pa.array(salt, type=pa.int32()))
 
 
-class ClusterMergeKeys:
-    """Emit (block_key, merge_key, salt, cluster_id) rows for hot-block
-    local-cluster representatives: one key per distinct cluster coentity
-    (the co-author signal, Ga) and one per MinHash/LSH band over the
-    cluster's stemmed-token union (the ∩>=2-token signal, Gt, at scale)."""
+def hot_cluster_roots(
+    hot_clusters: Dataset, cfg: LinkageConfig, min_signals: int = 2
+) -> Dataset:
+    """(cluster_id, root) canonical map for hot-key sub-block clusters.
 
-    def __init__(self, cfg: LinkageConfig):
-        self.cfg = cfg
-        self.a, self.b = perm_params(cfg.minhash_perms, cfg.seed)
+    Semantics: two local clusters of the same hot key merge iff they share
+    >= `min_signals` distinct merge signals — a coentity (the co-author
+    edge signal, Ga) or a MinHash/LSH band over the cluster's stemmed-token
+    union (the ∩>=2-token signal, Gt, at scale) — across DIFFERENT salts;
+    the root is the transitive component's smallest cluster id. A single
+    coincidentally shared signal is not enough, protecting precision under
+    closure. Merges never cross block keys, so the whole computation is
+    ONE groupby(block_key) with vectorized + local union-find inside the
+    group: cluster REPRESENTATIVES only (one row per local cluster, near-
+    deduped per batch before the shuffle), never the member rows.
+    """
+    a, b = perm_params(cfg.minhash_perms, cfg.seed)
+    n_bands = cfg.lsh_bands
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        bkeys = batch["block_key"].to_pylist()
-        salts = batch["salt"].to_pylist()
-        cids = batch["cluster_id"].to_pylist()
-        coents = batch["cluster_coentities"].to_pylist()
-        toks = batch["cluster_tokens"].to_pylist()
-        out_key: list[str] = []
-        out_mkey: list[str] = []
-        out_salt: list[int] = []
-        out_cid: list[str] = []
+    def shrink(t: pa.Table) -> pa.Table:
+        df = t.select(
+            ["block_key", "salt", "cluster_id", "cluster_coentities", "cluster_tokens"]
+        ).to_pandas()
+        return pa.Table.from_pandas(
+            df.drop_duplicates("cluster_id"), preserve_index=False
+        )
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"cluster_id": pd.Series(dtype=object), "root": pd.Series(dtype=object)}
+        )
+        reps = g.drop_duplicates("cluster_id")
+        if reps["salt"].nunique() <= 1 or len(reps) <= 1:
+            return empty
+        cids = reps["cluster_id"].tolist()
+        salts = reps["salt"].tolist()
+        coents = reps["cluster_coentities"].tolist()
+        toks = reps["cluster_tokens"].tolist()
+        # signal -> list of (cluster index); coentity signals + LSH bands
         flat: list[str] = []
         offsets = [0]
         for t in toks:
-            flat.extend(t or [])
+            flat.extend(t if t is not None else [])
             offsets.append(len(flat))
         th = stable_hash64_array(np.asarray(flat, dtype=object)) if flat else np.zeros(0, np.uint64)
-        sigs = minhash_signatures_flat(th, np.asarray(offsets), self.a, self.b)
-        bands = band_keys(sigs, self.cfg.lsh_bands)
-        for i, cid in enumerate(cids):
-            for e in coents[i] or []:
-                out_key.append(bkeys[i])
-                out_mkey.append(f"a:{e}")
-                out_salt.append(salts[i])
-                out_cid.append(cid)
-            if toks[i]:
-                for bidx in range(self.cfg.lsh_bands):
-                    out_key.append(bkeys[i])
-                    out_mkey.append(f"t:{bidx}:{bands[i, bidx]:016x}")
-                    out_salt.append(salts[i])
-                    out_cid.append(cid)
-        return pa.table(
-            {
-                "block_key": pa.array(out_key, type=pa.string()),
-                "merge_key": pa.array(out_mkey, type=pa.string()),
-                "salt": pa.array(out_salt, type=pa.int32()),
-                "cluster_id": pa.array(out_cid, type=pa.string()),
-            }
-        )
-
-
-def cross_salt_merge_edges(
-    hot_clusters: Dataset, cfg: LinkageConfig, min_signals: int = 2
-) -> Dataset:
-    """Edges (u, v) between LOCAL CLUSTER ids of the same hot key.
-
-    Two sub-block clusters merge iff they share >= `min_signals` distinct
-    merge keys (coentities and/or LSH bands) — a single shared key (e.g.
-    one coincidentally shared collaborator name) is not enough, which
-    protects precision under transitive closure. Input: the scorer's
-    per-mention rows for hot blocks (cluster signature columns carried on
-    each row); reduced to one representative row per cluster first.
-    """
-    reps = hot_clusters.groupby("cluster_id").map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"  # arrow: list columns
-    )
-    keyed = reps.map_batches(
-        ClusterMergeKeys, fn_constructor_args=(cfg,), batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
-
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "block_key": pd.Series(dtype=object),
-                "u": pd.Series(dtype=object),
-                "v": pd.Series(dtype=object),
-            }
-        )
-        if group["salt"].nunique() <= 1:
-            return empty
-        cids = sorted(group["cluster_id"].unique())
-        if len(cids) <= 1:
-            return empty
-        uu, vv = [], []
+        sigs = minhash_signatures_flat(th, np.asarray(offsets), a, b)
+        bands = band_keys(sigs, n_bands)
+        signal_members: dict[str, list[int]] = {}
         for i in range(len(cids)):
-            for j in range(i + 1, len(cids)):
-                uu.append(cids[i])
-                vv.append(cids[j])
-        return pd.DataFrame(
-            {"block_key": [group["block_key"].iloc[0]] * len(uu), "u": uu, "v": vv}
-        )
+            for e in coents[i] if coents[i] is not None else []:
+                signal_members.setdefault(f"a:{e}", []).append(i)
+            if toks[i] is not None and len(toks[i]):
+                for bidx in range(n_bands):
+                    signal_members.setdefault(f"t:{bidx}:{bands[i, bidx]:016x}", []).append(i)
+        pair_signals: dict[tuple[int, int], int] = {}
+        for members in signal_members.values():
+            if len(members) < 2:
+                continue
+            if len({salts[i] for i in members}) <= 1:
+                continue  # signal collides within one salt only: no merge info
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    p = (members[x], members[y]) if members[x] < members[y] else (members[y], members[x])
+                    pair_signals[p] = pair_signals.get(p, 0) + 1
+        parent = list(range(len(cids)))
 
-    cand = keyed.groupby(["block_key", "merge_key"]).map_groups(pairs, batch_format="pandas")
-    # count distinct shared signals per cluster pair
-    return cand.groupby(["block_key", "u", "v"]).map_groups(
-        lambda g: g.head(1) if len(g) >= min_signals else g.head(0),
-        batch_format="pandas",
-    )
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for (u, v), cnt in pair_signals.items():
+            if cnt >= min_signals:
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[max(ru, rv)] = min(ru, rv)
+        comp: dict[int, list[int]] = {}
+        for i in range(len(cids)):
+            comp.setdefault(find(i), []).append(i)
+        out_c, out_r = [], []
+        for members in comp.values():
+            if len(members) < 2:
+                continue
+            root = min(cids[i] for i in members)
+            for i in members:
+                if cids[i] != root:
+                    out_c.append(cids[i])
+                    out_r.append(root)
+        if not out_c:
+            return empty
+        return pd.DataFrame({"cluster_id": out_c, "root": out_r})
+
+    reps = hot_clusters.map_batches(shrink, batch_format="pyarrow")
+    return reps.groupby("block_key").map_groups(per_key, batch_format="pandas")

@@ -39,10 +39,15 @@ from hgcn_name_disambiguation_ray.functions.hashing import (
     stable_hash64_array,
 )
 from hgcn_name_disambiguation_ray.stages.closure import connected_components
+from hgcn_name_disambiguation_ray.stages.groupagg import bucketed_group_apply
 
 
 def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
-    """One row per distinct text: (keep_id = min id, n_copies)."""
+    """One row per distinct text: (keep_id = min id, n_copies).
+
+    Content hashes are high-cardinality (~one group per distinct doc),
+    so the merge runs through the bucketed-groupby pattern — vectorized
+    pandas aggregation per bucket, never a Ray dispatch per group."""
 
     def hash_batch(t: pa.Table) -> pa.Table:
         texts = np.asarray(t[text_col].to_pandas(), dtype=object)
@@ -57,15 +62,13 @@ def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> 
     hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
     partials = hashed.map_batches(partial, batch_format="pyarrow")
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "keep_id": [g["keep_id"].min()],
-                "n_copies": [g["n_copies"].sum()],
-            }
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("content_hash", as_index=False, sort=False).agg(
+            keep_id=("keep_id", "min"), n_copies=("n_copies", "sum")
         )
 
-    return partials.groupby("content_hash").map_groups(merge, batch_format="pandas").select_columns(["keep_id", "n_copies"])
+    merged = bucketed_group_apply(partials, ["content_hash"], merge, n_buckets=64)
+    return merged.select_columns(["keep_id", "n_copies"])
 
 
 def _shingles(tokens: list[str], n: int) -> list[str]:
@@ -99,38 +102,79 @@ class _SignatureStage:
         return t[self.id_col].to_pylist(), sigs
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        """One row per doc: (doc_id, signature list<uint64>)."""
         ids, sigs = self.signatures(t)
-        bands = band_keys(sigs, self.bands)
-        n, k = sigs.shape
-        rep_ids = np.repeat(np.asarray(ids), self.bands)
-        band_idx = np.tile(np.arange(self.bands, dtype=np.int32), n)
         return pa.table(
             {
-                "doc_id": pa.array(rep_ids),
-                "band": pa.array(band_idx, type=pa.int32()),
-                "bucket": pa.array(bands.reshape(-1), type=pa.uint64()),
-                "signature": pa.array(list(np.repeat(sigs, self.bands, axis=0))),
+                "doc_id": pa.array(ids),
+                "signature": pa.array([s.tolist() for s in sigs], type=pa.list_(pa.uint64())),
             }
         )
 
 
-def _candidate_pairs(band_rows: Dataset, max_bucket: int = 200) -> Dataset:
-    """groupby (band, bucket) -> pairs (u, v) with u < v; oversized buckets
-    are capped pair-wise against the bucket minimum (star) and logged by
-    count rather than silently exploding."""
+def _explode_bands(n_bands: int):
+    """(doc_id, signature) -> (doc_id, band, bucket) band rows."""
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"u": pd.Series(dtype=ids.dtype), "v": pd.Series(dtype=ids.dtype)})
-        ids = np.sort(ids)
+    def body(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        sigs = np.asarray(t["signature"].to_pylist(), dtype=np.uint64)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=t["doc_id"].type),
+                    "band": pa.array([], type=pa.int32()),
+                    "bucket": pa.array([], type=pa.uint64()),
+                }
+            )
+        bands = band_keys(sigs, n_bands)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(np.asarray(ids), n_bands)),
+                "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), len(ids))),
+                "bucket": pa.array(bands.reshape(-1), type=pa.uint64()),
+            }
+        )
+
+    return body
+
+
+def _pairs_in_bucket_groups(df: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
+    """Vectorized pair expansion for one bucket partition: pandas groupby
+    over (band, bucket) locally, numpy triangle per multi-member group.
+    Singleton buckets (the vast majority) are dropped in one mask."""
+    df = df.drop_duplicates(["band", "bucket", "doc_id"])
+    # keep only (band,bucket) groups with >= 2 members
+    dup = df.duplicated(["band", "bucket"], keep=False)
+    df = df[dup]
+    if df.empty:
+        return pd.DataFrame({"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)})
+    out_u, out_v = [], []
+    for (_, _), g in df.groupby(["band", "bucket"], sort=False):
+        ids = np.sort(g["doc_id"].to_numpy())
         if len(ids) > max_bucket:
             # star against min id bounds cost; closure still merges the set
-            return pd.DataFrame({"u": np.repeat(ids[0], len(ids) - 1), "v": ids[1:]})
-        iu, iv = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"u": ids[iu], "v": ids[iv]})
+            out_u.append(np.repeat(ids[0], len(ids) - 1))
+            out_v.append(ids[1:])
+        else:
+            iu, iv = np.triu_indices(len(ids), k=1)
+            out_u.append(ids[iu])
+            out_v.append(ids[iv])
+    return pd.DataFrame({"u": np.concatenate(out_u), "v": np.concatenate(out_v)})
 
-    return band_rows.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
+
+def _candidate_pairs(band_rows: Dataset, max_bucket: int = 200) -> Dataset:
+    """(band, bucket) collision groups -> candidate pairs (u, v), u < v.
+
+    Bucket ids are high-cardinality (~#docs x bands groups), so grouping
+    runs through the bucketed pattern: shuffle by hash(band,bucket) %
+    n_buckets, expand pairs vectorized inside each partition. Distinct
+    pairs only (dedup across bands happens in the verify stage)."""
+    return bucketed_group_apply(
+        band_rows,
+        ["band", "bucket"],
+        lambda df: _pairs_in_bucket_groups(df, max_bucket).drop_duplicates(["u", "v"]),
+        n_buckets=64,
+    )
 
 
 def minhash_lsh_dedup(
@@ -146,7 +190,8 @@ def minhash_lsh_dedup(
     """Near-dup groups: (doc_id, canonical_id). Jaccard estimated from
     MinHash signatures (fraction of equal components) >= threshold."""
     sig_stage = _SignatureStage(text_col, id_col, num_perms, bands, shingle_n, seed)
-    band_rows = ds.map_batches(sig_stage, batch_format="pyarrow").materialize()
+    sigs_ds = ds.map_batches(sig_stage, batch_format="pyarrow").materialize()
+    band_rows = sigs_ds.map_batches(_explode_bands(bands), batch_format="pyarrow")
     cand = _candidate_pairs(band_rows).materialize()
 
     # verify against a broadcast signature lookup restricted to CANDIDATE
@@ -156,19 +201,15 @@ def minhash_lsh_dedup(
 
     cand_pdf = cand.to_pandas()
     vertex_ids = set(cand_pdf["u"]).union(cand_pdf["v"])
-    sig_per_doc = (
-        band_rows.map_batches(
-            lambda t: t.filter(
-                pa.array([d in vertex_ids for d in t["doc_id"].to_pylist()])
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby("doc_id")
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-        .select_columns(["doc_id", "signature"])
-    )
-    sig_df = sig_per_doc.to_pandas()
-    sig_map = {r["doc_id"]: np.asarray(r["signature"], dtype=np.uint64) for _, r in sig_df.iterrows()}
+
+    def keep_vertices(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array([d in vertex_ids for d in t["doc_id"].to_pylist()]))
+
+    sig_df = sigs_ds.map_batches(keep_vertices, batch_format="pyarrow").to_pandas()
+    sig_map = {
+        d: np.asarray(s, dtype=np.uint64)
+        for d, s in zip(sig_df["doc_id"], sig_df["signature"])
+    }
     sig_ref = ray.put(sig_map)
 
     class Verify:
@@ -209,7 +250,8 @@ def ngram_jaccard_dedup(
     candidate pairs from LSH, token shingle sets shipped only for the
     (small) candidate vertex set."""
     sig_stage = _SignatureStage(text_col, id_col, 128, 32, shingle_n, seed)
-    band_rows = ds.map_batches(sig_stage, batch_format="pyarrow").materialize()
+    sigs_ds = ds.map_batches(sig_stage, batch_format="pyarrow")
+    band_rows = sigs_ds.map_batches(_explode_bands(32), batch_format="pyarrow")
     cand = _candidate_pairs(band_rows).materialize()
 
     import ray
@@ -278,31 +320,38 @@ def simhash_dedup(
             toks = [x for x in (txt or "").lower().split() if x]
             th = stable_hash64_array(np.asarray(toks, dtype=object)) if toks else np.zeros(0, np.uint64)
             fps[i] = simhash(th)
-        out_ids, out_band, out_key, out_fp = [], [], [], []
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "fingerprint": pa.array(fps, type=pa.uint64()),
+            }
+        )
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        fps = np.asarray(t["fingerprint"].to_pylist(), dtype=np.uint64)
+        out_ids, out_band, out_key = [], [], []
         for bi in range(4):
             shift = np.uint64(16 * bi)
             keys = (fps >> shift) & np.uint64(0xFFFF)
             out_ids.extend(ids)
             out_band.extend([bi] * len(ids))
             out_key.extend(keys.tolist())
-            out_fp.extend(fps.tolist())
         return pa.table(
             {
                 "doc_id": pa.array(out_ids),
                 "band": pa.array(out_band, type=pa.int32()),
                 "bucket": pa.array(out_key, type=pa.uint64()),
-                "fingerprint": pa.array(out_fp, type=pa.uint64()),
             }
         )
 
-    band_rows = ds.map_batches(fingerprints, batch_format="pyarrow").materialize()
+    fp_ds = ds.map_batches(fingerprints, batch_format="pyarrow").materialize()
+    band_rows = fp_ds.map_batches(explode, batch_format="pyarrow")
     cand = _candidate_pairs(band_rows)
 
     import ray
 
-    fp_df = band_rows.groupby("doc_id").map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    ).select_columns(["doc_id", "fingerprint"]).to_pandas()
+    fp_df = fp_ds.to_pandas()
     fmap = dict(zip(fp_df["doc_id"], fp_df["fingerprint"].astype(np.uint64)))
     fref = ray.put(fmap)
 

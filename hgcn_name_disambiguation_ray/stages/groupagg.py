@@ -1,0 +1,96 @@
+"""Bucketed high-cardinality group aggregation.
+
+Ray Data's `groupby(...).aggregate(...)` / `map_groups` are sort-based
+and dispatch Python work per GROUP in the reduce phase — fine for
+thousands of groups, pathological for millions (the reduce tasks become
+a per-row Python merge). The engine's workaround is the classic bucket
+pattern (the same trick the blocking stage uses for hot keys, SURVEY.md
+§4): hash the group key into `n_buckets` partitions, shuffle by the
+SMALL bucket key, and run the real aggregation VECTORIZED (pandas
+groupby) inside each bucket partition. Exactness is preserved — every
+row of a group lands in the same bucket — while the Ray-level group
+count drops from |distinct keys| to `n_buckets`.
+
+At cluster scale `n_buckets` should be ~4x total cores so buckets
+stay parallel and skew-tolerant; each bucket must fit a worker's heap
+(bucket size ~ N / n_buckets for hash-uniform keys).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+from hgcn_name_disambiguation_ray.functions.hashing import stable_hash64_array
+
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bucket_of(df: pd.DataFrame, keys: list[str], n_buckets: int) -> np.ndarray:
+    """Vectorized bucket assignment; integer keys mix numerically (no
+    per-row string building), everything else hashes via blake2b."""
+    h = np.full(len(df), np.uint64(0x51_7C_C1_B7), dtype=np.uint64)
+    for k in keys:
+        col = df[k]
+        if np.issubdtype(col.dtype, np.integer):
+            v = col.to_numpy().astype(np.uint64)
+            v = (v ^ (v >> np.uint64(33))) * _MIX
+            v ^= v >> np.uint64(29)
+        else:
+            v = stable_hash64_array(col.astype(str).to_numpy(dtype=object))
+        h = (h * _MIX) ^ v
+    return (h % np.uint64(n_buckets)).astype(np.int32)
+
+
+def bucketed_group_apply(
+    ds: Dataset,
+    keys: list[str],
+    apply: Callable[[pd.DataFrame], pd.DataFrame],
+    n_buckets: int = 64,
+) -> Dataset:
+    """Exact groupby(keys) -> `apply` over each full group, executed as
+    groupby(bucket) -> vectorized apply per bucket partition.
+
+    `apply` receives ALL rows of one bucket (many complete groups) and
+    must itself do the per-key pandas groupby — vectorized, not per-row.
+    """
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        buckets = _bucket_of(t.select(keys).to_pandas(), keys, n_buckets)
+        return t.append_column("__bucket", pa.array(buckets, type=pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return apply(g.drop(columns="__bucket"))
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow").groupby(
+        "__bucket"
+    ).map_groups(per_bucket, batch_format="pandas")
+
+
+def bucketed_count(
+    ds: Dataset, keys: list[str], out_col: str = "n", n_buckets: int = 64
+) -> Dataset:
+    """Exact `SELECT keys, count(*) FROM ds GROUP BY keys` for
+    high-cardinality keys (e.g. candidate-pair counting)."""
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(keys, as_index=False, sort=False).size()
+        return out.rename(columns={"size": out_col})
+
+    return bucketed_group_apply(ds, keys, count, n_buckets)
+
+
+def bucketed_sum(
+    ds: Dataset, keys: list[str], value_cols: list[str], n_buckets: int = 64
+) -> Dataset:
+    """Exact per-key sums for high-cardinality keys; column names kept."""
+
+    def _sum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys, as_index=False, sort=False)[value_cols].sum()
+
+    return bucketed_group_apply(ds, keys, _sum, n_buckets)

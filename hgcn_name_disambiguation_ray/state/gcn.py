@@ -104,9 +104,14 @@ class BlockEncoder:
             dot = np.einsum("ij,ij->i", hi_e, hj_e)
             # d/ddot of -log σ(l·dot) = -l·(1-σ(l·dot))
             g_dot = -bl * (1.0 - _sigmoid(bl * dot)) / len(bi)
-            dHr = np.zeros_like(Hr)
-            np.add.at(dHr, ri, g_dot[:, None] * hj_e)
-            np.add.at(dHr, rj, g_dot[:, None] * hi_e)
+            # scatter-add as one gemm: S[(k -> row)] accumulates both the
+            # i-side and j-side pair gradients (np.add.at is ~50x slower
+            # than BLAS here)
+            b = len(bi)
+            S = np.zeros((len(rows), 2 * b), dtype=np.float32)
+            S[ri, np.arange(b)] = g_dot
+            S[rj, np.arange(b, 2 * b)] = g_dot
+            dHr = S @ np.concatenate([hj_e, hi_e], axis=0)
             dZr = dHr * (Zr > 0.0)
             G2 = Pr.T @ dZr
             G2 += lam * W2

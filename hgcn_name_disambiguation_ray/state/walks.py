@@ -52,12 +52,40 @@ class AliasTable:
         i = int(rng.integers(0, n))
         return int(self.idx[i]) if rng.random() < self.prob[i] else int(self.idx[self.alias[i]])
 
+    def draw_pooled(self, pool: "UniformPool") -> int:
+        u1, u2 = pool.next2()
+        i = int(u1 * len(self.prob))
+        return int(self.idx[i]) if u2 < self.prob[i] else int(self.idx[self.alias[i]])
+
     def draw_many(self, rng: np.random.Generator, k: int) -> np.ndarray:
         n = len(self.prob)
         i = rng.integers(0, n, size=k)
         take_alias = rng.random(k) >= self.prob[i]
         j = np.where(take_alias, self.alias[i], i)
         return self.idx[j]
+
+
+class UniformPool:
+    """Bulk-drawn uniforms consumed two at a time: one vectorized
+    generator call per ~chunk instead of two Python-level RNG calls per
+    alias draw (the walk loop makes tens of thousands of draws)."""
+
+    __slots__ = ("rng", "buf", "pos", "chunk")
+
+    def __init__(self, rng: np.random.Generator, chunk: int = 65536):
+        self.rng = rng
+        self.chunk = chunk
+        self.buf = rng.random(chunk)
+        self.pos = 0
+
+    def next2(self) -> tuple[float, float]:
+        if self.pos + 2 > len(self.buf):
+            self.buf = self.rng.random(self.chunk)
+            self.pos = 0
+        u1 = self.buf[self.pos]
+        u2 = self.buf[self.pos + 1]
+        self.pos += 2
+        return u1, u2
 
 
 def bfs_hop_distances(adj: np.ndarray) -> np.ndarray:
@@ -117,6 +145,7 @@ def metapath_walks(
     neighbor, negative = build_samplers(layers)
     metapath = cfg.metapath
     n = layers[-1].shape[0]
+    pool = UniformPool(rng)
     u_i: list[int] = []
     u_j: list[int] = []
     lab: list[int] = []
@@ -126,7 +155,7 @@ def metapath_walks(
         if sampler is not None:
             for _ in range(cfg.negative_num):
                 u_i.append(node)
-                u_j.append(sampler.draw(rng))
+                u_j.append(sampler.draw_pooled(pool))
                 lab.append(-1)
 
     for node_index in range(n):
@@ -137,7 +166,7 @@ def metapath_walks(
             for _ in range(cfg.walk_length):
                 sampler = neighbor[gi][node_start]
                 if sampler is not None:
-                    node_p = sampler.draw(rng)
+                    node_p = sampler.draw_pooled(pool)
                     u_i.append(node_start)
                     u_j.append(node_p)
                     lab.append(1)
@@ -146,7 +175,7 @@ def metapath_walks(
                     gi = metapath[g_index]
                     sampler2 = neighbor[gi][node_p]
                     if sampler2 is not None:
-                        node_p1 = sampler2.draw(rng)
+                        node_p1 = sampler2.draw_pooled(pool)
                         u_i.append(node_start)
                         u_j.append(node_p1)
                         lab.append(1)
