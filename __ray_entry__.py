@@ -547,6 +547,29 @@ def _q_linkage_scores(sf_dir: str):
     return pairwise_scores(clusters_with_truth(clusters, truth))
 
 
+def _q_majority_assignment(sf_dir: str):
+    """J4/J5: cluster -> person-id majority assignment with uniqueness +
+    singleton fill, over the fixture clusters joined with truth."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.config import LinkageConfig
+    from hgcn_name_disambiguation_ray.pipelines.linkage import (
+        clusters_with_truth,
+        run_linkage,
+    )
+    from hgcn_name_disambiguation_ray.stages.evaluate import majority_assignment
+
+    fdir = _fixture_pages_dir()
+    pages = rd.read_parquet(os.path.join(fdir, "pages.parquet"))
+    clusters = run_linkage(pages, LinkageConfig())
+    truth = pq.read_table(os.path.join(fdir, "truth.parquet"))
+    labeled = clusters_with_truth(clusters, truth)
+    return majority_assignment(labeled).to_pandas().sort_values(
+        ["block_key", "person_id"]
+    ).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "source_filter": _q_source_filter,
@@ -577,6 +600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _q_multimodal_features,
         "linkage_clusters": _q_linkage_clusters,
         "linkage_scores": _q_linkage_scores,
+        "majority_assignment": _q_majority_assignment,
     }
 
 

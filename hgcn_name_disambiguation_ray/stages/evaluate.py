@@ -36,6 +36,50 @@ def _cell_counts(ds: Dataset, keys: list[str], out: str) -> Dataset:
     return partials.groupby(keys).aggregate(Sum(out, alias_name=out))
 
 
+def majority_assignment(labeled: Dataset) -> Dataset:
+    """Cluster -> entity-id assignment with uniqueness + singleton fill
+    (SURVEY.md J4/J5; reference `name_disambiguation.py:190-232,689-734`).
+
+    Input columns: (block_key, cluster_id, person_id). Per block: predicted
+    clusters claim their most frequent member person_id, each person_id
+    claimable once; clusters are processed in deterministic order
+    (size desc, then cluster_id) and candidate ids in (count desc, then
+    id) — this replaces the reference's dict-iteration-order greedy (D4,
+    documented intentional divergence). Unclaimed person_ids become fresh
+    singleton assignments (J5 anti-join semantics). Output:
+    (block_key, person_id, assigned_cluster).
+    """
+
+    def per_block(g: pd.DataFrame) -> pd.DataFrame:
+        bkey = g["block_key"].iloc[0]
+        sizes = g.groupby("cluster_id").size().sort_values(ascending=False)
+        order = sorted(sizes.index, key=lambda c: (-sizes[c], c))
+        counts = g.groupby(["cluster_id", "person_id"]).size()
+        assigned: dict[str, str] = {}
+        taken: set[str] = set()
+        for c in order:
+            cand = counts.loc[c].sort_values(ascending=False)
+            cand = sorted(cand.index, key=lambda p: (-cand[p], p))
+            for p in cand:
+                if p not in taken:
+                    assigned[p] = c
+                    taken.add(p)
+                    break
+        leftover = sorted(set(g["person_id"]) - taken)
+        for i, p in enumerate(leftover):
+            assigned[p] = f"__singleton_{i}"
+        ids = sorted(assigned)
+        return pd.DataFrame(
+            {
+                "block_key": [bkey] * len(ids),
+                "person_id": ids,
+                "assigned_cluster": [assigned[p] for p in ids],
+            }
+        )
+
+    return labeled.groupby("block_key").map_groups(per_block, batch_format="pandas")
+
+
 def pairwise_scores(labeled: Dataset) -> pd.DataFrame:
     """labeled: Dataset with columns (block_key, person_id, cluster_id).
 

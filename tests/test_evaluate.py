@@ -56,3 +56,31 @@ def test_count_identity_matches_reference_formula():
         assert row["f1"] == pytest.approx(f)
     macro = scores[scores["block_key"] == "__macro__"].iloc[0]
     assert macro["f1"] == pytest.approx(np.mean([v[2] for v in expected.values()]))
+
+
+def test_majority_assignment(ray_session):
+    import ray.data as rd
+
+    # block with 2 predicted clusters over 3 true persons:
+    #   cluster A: p1 x3, p2 x1  -> claims p1
+    #   cluster B: p1 x1, p2 x2  -> p1 taken, claims p2
+    #   p3 never clustered       -> singleton fill
+    df = pd.DataFrame(
+        {
+            "block_key": ["k"] * 7,
+            "cluster_id": ["A", "A", "A", "A", "B", "B", "B"],
+            "person_id": ["p1", "p1", "p1", "p2", "p1", "p2", "p2"],
+        }
+    )
+    df = pd.concat(
+        [df, pd.DataFrame({"block_key": ["k"], "cluster_id": ["C"], "person_id": ["p3"]})],
+        ignore_index=True,
+    )
+    from hgcn_name_disambiguation_ray.stages.evaluate import majority_assignment
+
+    out = majority_assignment(rd.from_pandas(df)).to_pandas().set_index("person_id")
+    assert out.loc["p1", "assigned_cluster"] == "A"
+    assert out.loc["p2", "assigned_cluster"] == "B"
+    assert out.loc["p3", "assigned_cluster"] == "C"
+    # each cluster claims exactly one person
+    assert out["assigned_cluster"].is_unique

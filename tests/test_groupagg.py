@@ -1,0 +1,55 @@
+"""Bucketed high-cardinality groupby: exactness vs a pandas oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_buckets", [1, 7, 64])
+def test_bucketed_count_matches_pandas(n_buckets):
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.groupagg import bucketed_count
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "a": rng.integers(0, 500, 5000),
+            "b": rng.choice(list("xyzw"), 5000),
+        }
+    )
+    got = (
+        bucketed_count(rd.from_pandas(df), ["a", "b"], out_col="n", n_buckets=n_buckets)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby(["a", "b"], as_index=False).size().rename(columns={"size": "n"})
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"n": np.int64}), want.astype({"n": np.int64})
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucketed_sum_matches_pandas():
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.groupagg import bucketed_sum
+
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame(
+        {
+            "k": [f"key-{i}" for i in rng.integers(0, 300, 3000)],
+            "v": rng.integers(0, 100, 3000),
+        }
+    )
+    got = (
+        bucketed_sum(rd.from_pandas(df), ["k"], ["v"], n_buckets=16)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    want = df.groupby("k", as_index=False)["v"].sum().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype({"v": np.int64}), want.astype({"v": np.int64}))
