@@ -547,6 +547,73 @@ def _q_linkage_scores(sf_dir: str):
     return pairwise_scores(clusters_with_truth(clusters, truth))
 
 
+def _q_closure_components(sf_dir: str):
+    """Distributed transitive closure (star-contraction, forced) over a
+    deterministic 3-chain edge set derived from customer keys: edges
+    (k, k-3) for 3 <= k <= 500 -> components = residues mod 3, reached
+    only through ~165 contraction-merged hops per chain."""
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.closure import connected_components
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        k = np.asarray([x for x in t["c_custkey"].to_pylist() if 3 <= x <= 500], dtype=np.int64)
+        return pa.table(
+            {
+                "u": pa.array([f"n{v:04d}" for v in k], type=pa.string()),
+                "v": pa.array([f"n{v - 3:04d}" for v in k], type=pa.string()),
+            }
+        )
+
+    comps = connected_components(cust.map_batches(edges, batch_format="pyarrow"),
+                                 force_distributed=True)
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node_id": df["mention_id"].str.slice(1).astype(np.int64),
+                "component": df["component"].str.slice(1).astype(np.int64),
+            }
+        )
+
+    return comps.map_batches(rename, batch_format="pandas")
+
+
+def _q_union_names(sf_dir: str):
+    """Dataset.union (D5 analogue): customer + supplier rows unioned, then
+    counted per nation key via partial aggregation."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_nationkey"]
+    ).map_batches(
+        lambda t: pa.table({"nationkey": t["c_nationkey"]}), batch_format="pyarrow"
+    )
+    supp = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_nationkey"]
+    ).map_batches(
+        lambda t: pa.table({"nationkey": t["s_nationkey"]}), batch_format="pyarrow"
+    )
+    both = cust.union(supp)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("nationkey").aggregate([("nationkey", "count")])
+        return g.rename_columns(["nationkey", "n_parties"])
+
+    agg = both.map_batches(partial, batch_format="pyarrow").groupby("nationkey").aggregate(
+        Sum("n_parties", alias_name="n_parties")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"nationkey": t["nationkey"], "n_parties": t["n_parties"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_majority_assignment(sf_dir: str):
     """J4/J5: cluster -> person-id majority assignment with uniqueness +
     singleton fill, over the fixture clusters joined with truth."""
@@ -601,6 +668,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_clusters": _q_linkage_clusters,
         "linkage_scores": _q_linkage_scores,
         "majority_assignment": _q_majority_assignment,
+        "closure_components": _q_closure_components,
+        "union_names": _q_union_names,
     }
 
 
@@ -665,6 +734,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, "
             "CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty, "
             "count(*) AS n_rows FROM lineitem GROUP BY 1, 2"
+        ),
+        "closure_components": (
+            "SELECT c_custkey AS node_id, CAST(c_custkey % 3 AS BIGINT) AS component "
+            "FROM customer WHERE c_custkey <= 500"
+        ),
+        "union_names": (
+            "SELECT nationkey, count(*) AS n_parties FROM ("
+            "SELECT c_nationkey AS nationkey FROM customer "
+            "UNION ALL SELECT s_nationkey FROM supplier) GROUP BY 1"
         ),
         "sessionize": (
             "WITH g AS (SELECT user_id, ts, CASE WHEN epoch(ts - lag(ts) OVER "

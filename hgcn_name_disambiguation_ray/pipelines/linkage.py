@@ -181,3 +181,39 @@ def write_clusters(clusters: Dataset, out_dir: str) -> None:
     clusters.map_batches(add_prefix, batch_format="pyarrow").write_parquet(
         out_dir, partition_cols=["block_prefix"]
     )
+
+
+def clusters_json_summary(clusters: Dataset) -> dict:
+    """Reference-shaped JSON summary (S8, `name_disambiguation.py:236-239,
+    741-748`): {block_key: {cluster_index: sorted mention ids}}, cluster
+    indices densified per block in order of smallest member id. For small
+    outputs / debugging only — the parquet sink is the scale path."""
+
+    def per_block(g: pd.DataFrame) -> pd.DataFrame:
+        by_cluster: dict[str, list[str]] = {}
+        for mid, cid in zip(g["mention_id"], g["cluster_id"]):
+            by_cluster.setdefault(cid, []).append(mid)
+        ordered = sorted(by_cluster.values(), key=lambda ids: min(ids))
+        return pd.DataFrame(
+            {
+                "block_key": [g["block_key"].iloc[0]] * len(ordered),
+                "cluster_index": range(len(ordered)),
+                "mention_ids": [sorted(ids) for ids in ordered],
+            }
+        )
+
+    rows = clusters.groupby("block_key").map_groups(per_block, batch_format="pandas").to_pandas()
+    out: dict = {}
+    for bk, ci, mids in zip(rows["block_key"], rows["cluster_index"], rows["mention_ids"]):
+        out.setdefault(bk, {})[int(ci)] = list(mids)
+    return out
+
+
+def write_metrics_csv(scores: pd.DataFrame, path: str) -> None:
+    """Reference-shaped metrics CSV (S9, `name_disambiguation.py:1265-1303`):
+    one row per block (name, Prec, Rec, F1) plus the macro 'Avg' row."""
+    df = scores.rename(
+        columns={"block_key": "name", "precision": "Prec", "recall": "Rec", "f1": "F1"}
+    ).copy()
+    df.loc[df["name"] == "__macro__", "name"] = "Avg"
+    df.to_csv(path, index=False)

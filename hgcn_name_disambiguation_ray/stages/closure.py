@@ -20,26 +20,32 @@ from ray.data import Dataset
 
 
 def _large_star(edges: Dataset) -> Dataset:
-    """For each node u: m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u."""
+    """For each node u: m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u.
+
+    Node groups are high-cardinality, so the per-node contraction runs
+    through the bucketed pattern — vectorized pandas per partition, never
+    a Ray dispatch per node."""
+    from hgcn_name_disambiguation_ray.stages.groupagg import bucketed_group_apply
 
     def sym(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {"a": pd.concat([df["u"], df["v"]]), "b": pd.concat([df["v"], df["u"]])}
         )
 
-    def contract(g: pd.DataFrame) -> pd.DataFrame:
-        u = g["a"].iloc[0]
-        m = min(g["b"].min(), u)
-        big = g.loc[g["b"] > u, "b"].unique()
-        return pd.DataFrame({"u": big, "v": [m] * len(big)})
+    def contract(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.groupby("a")["b"].transform("min")
+        m = m.where(m < df["a"], df["a"])
+        keep = df["b"] > df["a"]
+        return pd.DataFrame({"u": df.loc[keep, "b"], "v": m[keep]}).drop_duplicates()
 
     symmetric = edges.map_batches(sym, batch_format="pandas")
-    return symmetric.groupby("a").map_groups(contract, batch_format="pandas")
+    return bucketed_group_apply(symmetric, ["a"], contract, n_buckets=64)
 
 
 def _small_star(edges: Dataset) -> Dataset:
     """Orient edges to (max, min); per node u: m = min(N(u) ∪ {u});
-    emit (v, m) for v in N(u) ∪ {u}, v != m."""
+    emit (v, m) for v in N(u) ∪ {u}, v != m. Vectorized per bucket."""
+    from hgcn_name_disambiguation_ray.stages.groupagg import bucketed_group_apply
 
     def orient(df: pd.DataFrame) -> pd.DataFrame:
         hi = df[["u", "v"]].max(axis=1)
@@ -47,15 +53,15 @@ def _small_star(edges: Dataset) -> Dataset:
         keep = hi != lo
         return pd.DataFrame({"a": hi[keep], "b": lo[keep]})
 
-    def contract(g: pd.DataFrame) -> pd.DataFrame:
-        u = g["a"].iloc[0]
-        nbrs = g["b"].unique()
-        m = min(nbrs.min(), u)
-        nodes = [v for v in set(nbrs) | {u} if v != m]
-        return pd.DataFrame({"u": nodes, "v": [m] * len(nodes)})
+    def contract(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.groupby("a")["b"].transform("min")  # min neighbor; all b < a here
+        nbr = pd.DataFrame({"u": df["b"], "v": m})
+        self_rows = pd.DataFrame({"u": df["a"], "v": m}).drop_duplicates("u")
+        out = pd.concat([nbr, self_rows], ignore_index=True)
+        return out[out["u"] != out["v"]].drop_duplicates()
 
     oriented = edges.map_batches(orient, batch_format="pandas")
-    return oriented.groupby("a").map_groups(contract, batch_format="pandas")
+    return bucketed_group_apply(oriented, ["a"], contract, n_buckets=64)
 
 
 def _checksum(edges: Dataset) -> tuple[int, int]:
@@ -114,22 +120,27 @@ def _local_components(edges: Dataset) -> Dataset:
 LOCAL_CLOSURE_MAX_EDGES = 2_000_000
 
 
-def connected_components(edges: Dataset, max_rounds: int = 30) -> Dataset:
+def connected_components(
+    edges: Dataset, max_rounds: int = 30, force_distributed: bool = False
+) -> Dataset:
     """edges(u, v) -> Dataset(mention_id, component) for every node that
     appears in an edge. Isolated nodes don't appear (callers union them).
 
     Small edge sets (post-blocking candidate edges are usually tiny
     relative to the input) take the driver union-find path; large ones
-    run the distributed star-contraction."""
+    run the distributed star-contraction. `force_distributed` runs the
+    star-contraction regardless of size (tests / conformance)."""
     edges = edges.materialize()
-    if edges.count() <= LOCAL_CLOSURE_MAX_EDGES:
+    if not force_distributed and edges.count() <= LOCAL_CLOSURE_MAX_EDGES:
         return _local_components(edges)
     cur = edges
     prev_sig: tuple[int, int] | None = None
     for _ in range(max_rounds):
+        # pin each round: without this the lazy lineage grows round over
+        # round and every checksum re-executes the whole history
         cur = _small_star(_large_star(cur)).map_batches(
             lambda df: df.drop_duplicates(), batch_format="pandas"
-        )
+        ).materialize()
         sig = _checksum(cur)
         if sig == prev_sig:
             break

@@ -88,3 +88,41 @@ def test_write_clusters_partitioned(tmp_path):
     back = rd.read_parquet(out).to_pandas()
     assert len(back) == len(clusters.to_pandas())
     assert "block_prefix" in back.columns
+
+
+def test_json_summary_and_metrics_csv(ray_session, small_fixture, tmp_path):
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    from hgcn_name_disambiguation_ray.config import LinkageConfig
+    from hgcn_name_disambiguation_ray.pipelines.linkage import (
+        clusters_json_summary,
+        clusters_with_truth,
+        run_linkage,
+        write_metrics_csv,
+    )
+    from hgcn_name_disambiguation_ray.stages.evaluate import pairwise_scores
+
+    pages = rd.from_arrow(small_fixture["pages"])
+    clusters = run_linkage(pages, LinkageConfig())
+    summary = clusters_json_summary(clusters)
+    truth = small_fixture["truth"].to_pandas()
+    assert set(summary) == set(truth["block_key"].unique())
+    total = sum(len(ids) for blocks in summary.values() for ids in blocks.values())
+    assert total == len(truth)
+    # cluster indices dense from 0, ids sorted
+    for blocks in summary.values():
+        assert sorted(blocks) == list(range(len(blocks)))
+        for ids in blocks.values():
+            assert ids == sorted(ids)
+
+    scores = pairwise_scores(
+        clusters_with_truth(run_linkage(pages, LinkageConfig()), small_fixture["truth"])
+    )
+    out = tmp_path / "metrics.csv"
+    write_metrics_csv(scores, str(out))
+    import pandas as pd
+
+    back = pd.read_csv(out)
+    assert list(back.columns) == ["name", "Prec", "Rec", "F1"]
+    assert "Avg" in set(back["name"])
