@@ -547,6 +547,37 @@ def _q_linkage_scores(sf_dir: str):
     return pairwise_scores(clusters_with_truth(clusters, truth))
 
 
+def _q_segment_orders(sf_dir: str):
+    """Big-big distributed hash join (orders |><| customer on custkey,
+    neither side broadcast) -> order count per market segment."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from hgcn_name_disambiguation_ray.stages.groupagg import hash_join
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]), batch_format="pyarrow"
+    )
+    joined = hash_join(orders, cust, on=["o_custkey"], num_partitions=32)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("c_mktsegment").aggregate([("c_mktsegment", "count")])
+        return g.rename_columns(["c_mktsegment", "n_orders"])
+
+    agg = joined.map_batches(partial, batch_format="pyarrow").groupby(
+        "c_mktsegment"
+    ).aggregate(Sum("n_orders", alias_name="n_orders"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"c_mktsegment": t["c_mktsegment"], "n_orders": t["n_orders"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_closure_components(sf_dir: str):
     """Distributed transitive closure (star-contraction, forced) over a
     deterministic 3-chain edge set derived from customer keys: edges
@@ -670,6 +701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "majority_assignment": _q_majority_assignment,
         "closure_components": _q_closure_components,
         "union_names": _q_union_names,
+        "segment_orders": _q_segment_orders,
     }
 
 
@@ -738,6 +770,10 @@ def oracle_sql() -> dict[str, str]:
         "closure_components": (
             "SELECT c_custkey AS node_id, CAST(c_custkey % 3 AS BIGINT) AS component "
             "FROM customer WHERE c_custkey <= 500"
+        ),
+        "segment_orders": (
+            "SELECT c_mktsegment, count(*) AS n_orders FROM orders "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY 1"
         ),
         "union_names": (
             "SELECT nationkey, count(*) AS n_parties FROM ("

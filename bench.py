@@ -122,7 +122,8 @@ def run_benchmarks() -> dict:
 
     # --- remaining headline queries from the driver battery ---
     qs = entrymod.queries()
-    for name in ["cooccur_pairs", "minhash_dedup", "topk_cosine", "window_counts"]:
+    for name in ["cooccur_pairs", "minhash_dedup", "topk_cosine", "window_counts",
+                 "segment_orders", "exact_dedup", "sessionize"]:
         t0 = time.time()
         res = qs[name](SF_DIR)
         if hasattr(res, "to_pandas"):

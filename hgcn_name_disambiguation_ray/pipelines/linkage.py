@@ -103,20 +103,33 @@ def run_linkage(
     n_parts = max(8, 4 * int(ray.cluster_resources().get("CPU", 8)))
     salted = salted.repartition(n_parts)
 
-    clusters = salted.groupby(["block_key", "salt"]).map_groups(
-        BlockScorer,
-        fn_constructor_args=(cfg,),
-        batch_format="pyarrow",
-        concurrency=cfg.scorer_concurrency,
-    )
+    def score() -> Dataset:
+        return salted.groupby(["block_key", "salt"]).map_groups(
+            BlockScorer,
+            fn_constructor_args=(cfg,),
+            batch_format="pyarrow",
+            concurrency=cfg.scorer_concurrency,
+        )
 
     out_cols = ["block_key", "salt", "mention_id", "cluster_id"]
+    if checkpoint_dir:
+        # the scorer is the expensive stage — its own checkpoint lets a
+        # resumed run skip straight to the (cheap) merge/relabel below
+        clusters = checkpoint_stage(
+            score,
+            f"{checkpoint_dir}/clusters",
+            fingerprint("clusters-v1", lineage_token, cfg, sorted(salt_map.items())),
+        )
+    else:
+        clusters = score()
+
     if not salt_map:
         return clusters.select_columns(out_cols)
 
-    # the scorer output feeds BOTH the cross-salt edge derivation and the
-    # final relabel below — pin it so the scorer pass runs exactly once
-    clusters = clusters.materialize()
+    if not checkpoint_dir:
+        # the scorer output feeds BOTH the cross-salt edge derivation and
+        # the final relabel below — pin it so the scorer runs exactly once
+        clusters = clusters.materialize()
 
     # --- hot keys were split: merge sub-block LOCAL CLUSTERS transitively.
     # Clusters of the same hot key merge when they share >= 2 distinct

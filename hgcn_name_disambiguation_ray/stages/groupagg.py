@@ -85,6 +85,27 @@ def bucketed_count(
     return bucketed_group_apply(ds, keys, count, n_buckets)
 
 
+def hash_join(
+    left: Dataset,
+    right: Dataset,
+    on: list[str],
+    how: str = "inner",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Distributed hash join for the big-big case where neither side fits
+    a broadcast (`ray.put` + map_batches lookup remains the right tool
+    for small sides). Thin wrapper over Ray Data's partitioned hash join
+    with an opinionated partition count (~4x cluster CPUs, the same
+    sizing rule as the scorer shuffle)."""
+    import ray
+
+    if num_partitions is None:
+        num_partitions = max(8, 4 * int(ray.cluster_resources().get("CPU", 8)))
+    join_type = {"inner": "inner", "left": "left_outer", "right": "right_outer",
+                 "full": "full_outer", "semi": "left_semi", "anti": "left_anti"}[how]
+    return left.join(right, join_type=join_type, num_partitions=num_partitions, on=tuple(on))
+
+
 def bucketed_sum(
     ds: Dataset, keys: list[str], value_cols: list[str], n_buckets: int = 64
 ) -> Dataset:

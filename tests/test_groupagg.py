@@ -53,3 +53,22 @@ def test_bucketed_sum_matches_pandas():
     )
     want = df.groupby("k", as_index=False)["v"].sum().sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype({"v": np.int64}), want.astype({"v": np.int64}))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_join_matches_pandas():
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.groupagg import hash_join
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 400), "lv": rng.integers(0, 9, 400)})
+    right = pd.DataFrame({"k": np.arange(0, 40), "rv": np.arange(100, 140)})
+    got = (
+        hash_join(rd.from_pandas(left), rd.from_pandas(right), on=["k"], num_partitions=8)
+        .to_pandas().sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    )
+    want = left.merge(right, on="k").sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "lv", "rv"]].astype(np.int64), want.astype(np.int64)
+    )

@@ -67,10 +67,14 @@ def test_checkpoint_resume(tmp_path):
     manifest = json.load(open(f"{ck}/mentions/_manifest.json"))
     assert manifest["rows"] == len(n1)
     stamp1 = manifest["written_at_epoch"]
-    # rerun: mentions stage must be read back, not recomputed
+    cl_manifest = json.load(open(f"{ck}/clusters/_manifest.json"))
+    cl_stamp1 = cl_manifest["written_at_epoch"]
+    # rerun: mentions AND clusters stages must be read back, not recomputed
     c2, _ = _run(SPEC, {}, checkpoint_dir=ck)
     manifest2 = json.load(open(f"{ck}/mentions/_manifest.json"))
     assert manifest2["written_at_epoch"] == stamp1  # untouched manifest = resumed
+    cl_manifest2 = json.load(open(f"{ck}/clusters/_manifest.json"))
+    assert cl_manifest2["written_at_epoch"] == cl_stamp1
     df1 = n1.sort_values("mention_id").reset_index(drop=True)
     df2 = c2.to_pandas().sort_values("mention_id").reset_index(drop=True)
     assert (df1["cluster_id"] == df2["cluster_id"]).all()
