@@ -561,7 +561,7 @@ def _q_segment_orders(sf_dir: str):
     ).map_batches(
         lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]), batch_format="pyarrow"
     )
-    joined = hash_join(orders, cust, on=["o_custkey"], num_partitions=32)
+    joined = hash_join(orders, cust, on=["o_custkey"], num_partitions=16)
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by("c_mktsegment").aggregate([("c_mktsegment", "count")])

@@ -35,8 +35,8 @@ BENCH_FIXTURE_DIR = "/tmp/hgcn_ray_bench_fixture_v2"
 # compute must dominate fixed costs (actor startup, shuffle scheduling) at
 # the larger size — the sandbox stand-in for a job long enough to amortize
 # startup on a real cluster.
-SCALING_SPEC = dict(n_names=200, persons_per_name=5, docs_per_person=60, hot_name_factor=3)
-SCALING_FIXTURE_DIR = "/tmp/hgcn_ray_scaling_fixture_v1"
+SCALING_SPEC = dict(n_names=400, persons_per_name=5, docs_per_person=60, hot_name_factor=3)
+SCALING_FIXTURE_DIR = "/tmp/hgcn_ray_scaling_fixture_v2"
 
 
 def _fixture(spec: dict, out_dir: str) -> str:

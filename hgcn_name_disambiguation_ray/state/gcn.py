@@ -104,14 +104,20 @@ class BlockEncoder:
             dot = np.einsum("ij,ij->i", hi_e, hj_e)
             # d/ddot of -log σ(l·dot) = -l·(1-σ(l·dot))
             g_dot = -bl * (1.0 - _sigmoid(bl * dot)) / len(bi)
-            # scatter-add as one gemm: S[(k -> row)] accumulates both the
-            # i-side and j-side pair gradients (np.add.at is ~50x slower
-            # than BLAS here)
-            b = len(bi)
-            S = np.zeros((len(rows), 2 * b), dtype=np.float32)
-            S[ri, np.arange(b)] = g_dot
-            S[rj, np.arange(b, 2 * b)] = g_dot
-            dHr = S @ np.concatenate([hj_e, hi_e], axis=0)
+            # scatter-add via sort + segment-sum: both the i-side and the
+            # j-side pair gradients accumulate into their rows. O(b·e)
+            # instead of the O(rows·b·e) scatter gemm; np.add.at is
+            # slower than either (per-element buffering)
+            idx = np.concatenate([ri, rj])
+            contrib = np.concatenate(
+                [g_dot[:, None] * hj_e, g_dot[:, None] * hi_e], axis=0
+            )
+            order = np.argsort(idx, kind="stable")
+            sidx = idx[order]
+            starts = np.flatnonzero(np.r_[True, np.diff(sidx) > 0])
+            sums = np.add.reduceat(contrib[order], starts, axis=0)
+            dHr = np.zeros_like(Hr)
+            dHr[sidx[starts]] = sums
             dZr = dHr * (Zr > 0.0)
             G2 = Pr.T @ dZr
             G2 += lam * W2
