@@ -148,21 +148,33 @@ def _q_cooccur_pairs(sf_dir: str):
     per-group sort aggregate."""
     import ray.data as rd
 
-    from hgcn_name_disambiguation_ray.stages.groupagg import bucketed_count
+    from hgcn_name_disambiguation_ray.stages.groupagg import (
+        bucketed_count,
+        bucketed_group_apply,
+    )
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderdate", "o_custkey"]
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["o_custkey"].unique())
-        if len(ids) < 2:
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # one bucket partition holds many complete date groups
+        out_i, out_j = [], []
+        for _, g in df.groupby("o_orderdate", sort=False):
+            ids = np.sort(g["o_custkey"].unique())
+            if len(ids) < 2:
+                continue
+            iu, iv = np.triu_indices(len(ids), k=1)
+            out_i.append(ids[iu])
+            out_j.append(ids[iv])
+        if not out_i:
             return pd.DataFrame({"custkey_i": pd.Series(dtype=np.int64),
                                  "custkey_j": pd.Series(dtype=np.int64)})
-        iu, iv = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"custkey_i": ids[iu], "custkey_j": ids[iv]})
+        return pd.DataFrame(
+            {"custkey_i": np.concatenate(out_i), "custkey_j": np.concatenate(out_j)}
+        )
 
-    p = ds.groupby("o_orderdate").map_groups(pairs, batch_format="pandas")
+    p = bucketed_group_apply(ds, ["o_orderdate"], pairs, n_buckets=64)
     return bucketed_count(p, ["custkey_i", "custkey_j"], out_col="n_shared", n_buckets=64)
 
 

@@ -86,6 +86,9 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     years = np.zeros(n, dtype=np.int32)
     coents: list[list[str]] = [[] for _ in range(n)]
     for i, hb in enumerate(htmls):
+        # null html (fetch failures are routine at crawl scale) -> no text
+        if hb is None:
+            hb = b""
         texts[i] = extract_text_bytes(hb)
         h = hb.decode("utf-8", errors="replace")
         m = _MID_RE.search(h)

@@ -149,14 +149,16 @@ def metapath_walks(
     u_i: list[int] = []
     u_j: list[int] = []
     lab: list[int] = []
+    # negative draws never influence the walk path, so they are only
+    # COUNTED here and drawn in one draw_many per node afterwards; the
+    # final seeded permutation re-mixes positives and negatives so
+    # minibatches stay balanced (divergence from the reference's
+    # interleaved order is covered by the F1>=0.99 conformance bar)
+    neg_requests = np.zeros(n, dtype=np.int64)
 
     def negs(node: int) -> None:
-        sampler = negative[node]
-        if sampler is not None:
-            for _ in range(cfg.negative_num):
-                u_i.append(node)
-                u_j.append(sampler.draw_pooled(pool))
-                lab.append(-1)
+        if negative[node] is not None:
+            neg_requests[node] += 1
 
     for node_index in range(n):
         for j in range(cfg.num_walks):
@@ -185,8 +187,18 @@ def metapath_walks(
                     negs(node_start)
                     g_index = (g_index + 1) % len(metapath)
                     gi = metapath[g_index]
-    return (
-        np.asarray(u_i, dtype=np.int64),
-        np.asarray(u_j, dtype=np.int64),
-        np.asarray(lab, dtype=np.float64),
+    neg_i: list[np.ndarray] = []
+    neg_j: list[np.ndarray] = []
+    for node in range(n):
+        r = int(neg_requests[node])
+        if r:
+            k = r * cfg.negative_num
+            neg_i.append(np.full(k, node, dtype=np.int64))
+            neg_j.append(negative[node].draw_many(rng, k).astype(np.int64))
+    ui = np.concatenate([np.asarray(u_i, dtype=np.int64)] + neg_i) if neg_i else np.asarray(u_i, dtype=np.int64)
+    uj = np.concatenate([np.asarray(u_j, dtype=np.int64)] + neg_j) if neg_j else np.asarray(u_j, dtype=np.int64)
+    ll = np.concatenate(
+        [np.ones(len(u_i)), -np.ones(len(ui) - len(u_i))]
     )
+    perm = rng.permutation(len(ui))
+    return ui[perm], uj[perm], ll[perm]

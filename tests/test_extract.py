@@ -1,5 +1,7 @@
 """Byte-identical text extraction contract (BASELINE.json input_hint)."""
 
+import pytest
+
 from hgcn_name_disambiguation_ray.fixtures import FixtureSpec, generate_fixture
 from hgcn_name_disambiguation_ray.stages.extract import extract_batch, extract_text_bytes
 
@@ -51,3 +53,32 @@ def test_extract_batch_fields():
     # one planted empty-title and one planted no-coentity row exist
     assert any(r["title"] == "" for r in rows)
     assert any(r["coentities"] == [] for r in rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_null_and_empty_fields_dont_crash():
+    """Nulls in every nullable pages column flow through extract ->
+    tokenize -> linkage without raising; rows with no usable mention are
+    dropped, valid rows survive."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.config import LinkageConfig
+    from hgcn_name_disambiguation_ray.pipelines.linkage import run_linkage
+
+    good_html = (
+        b"<html><head><title>entity page</title></head><body>"
+        b"<h1>Veva Sega</h1><p class='title'>deep learning of tokens</p>"
+        b"<p class='coauthors'>Alice One; Bob Two</p></body></html>"
+    )
+    pages = pa.table(
+        {
+            "url": ["https://a.example/1", "https://b.example/2", "https://c.example/3"],
+            "warc_ts": pa.array([None, None, None], type=pa.timestamp("us")),
+            "html": pa.array([good_html, None, b""], type=pa.binary()),
+            "text": pa.array([None, None, None], type=pa.string()),
+            "lang": pa.array(["en", None, "en"], type=pa.string()),
+        }
+    )
+    out = run_linkage(rd.from_arrow(pages), LinkageConfig()).to_pandas()
+    assert len(out) <= 1  # null/empty html rows dropped, no crash
