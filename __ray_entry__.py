@@ -559,6 +559,54 @@ def _q_linkage_scores(sf_dir: str):
     return pairwise_scores(clusters_with_truth(clusters, truth))
 
 
+def _q_asof_latest_event(sf_dir: str):
+    """As-of join: for each order, the latest event of the mapped user at
+    or before the order date (keyed shuffle + per-bucket merge_asof)."""
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.groupagg import asof_join
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.table(
+            {
+                "o_orderkey": pa.array(df["o_orderkey"], type=pa.int64()),
+                "u": pa.array(df["o_custkey"] % 150, type=pa.int64()),
+                "t": pa.array(pd.to_datetime(df["o_orderdate"]), type=pa.timestamp("us")),
+            }
+        )
+
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id"]
+    )
+
+    def prep_events(t: pa.Table) -> pa.Table:
+        # unique ts per user (max event_id) for a deterministic as-of pick
+        df = t.to_pandas().groupby(["user_id", "ts"], as_index=False)["event_id"].max()
+        return pa.table(
+            {
+                "u": pa.array(df["user_id"], type=pa.int64()),
+                "t": pa.array(df["ts"], type=pa.timestamp("us")),
+                "event_id": pa.array(df["event_id"], type=pa.int64()),
+            }
+        )
+
+    left = orders.map_batches(prep_orders, batch_format="pyarrow")
+    right = events.map_batches(prep_events, batch_format="pyarrow")
+    out = asof_join(left, right, by=["u"], on="t", right_cols=["event_id"])
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"].astype(np.int64),
+             "event_id": df["event_id"].astype(np.float64)}
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_segment_orders(sf_dir: str):
     """Big-big distributed hash join (orders |><| customer on custkey,
     neither side broadcast) -> order count per market segment."""
@@ -714,6 +762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "closure_components": _q_closure_components,
         "union_names": _q_union_names,
         "segment_orders": _q_segment_orders,
+        "asof_latest_event": _q_asof_latest_event,
     }
 
 
@@ -782,6 +831,14 @@ def oracle_sql() -> dict[str, str]:
         "closure_components": (
             "SELECT c_custkey AS node_id, CAST(c_custkey % 3 AS BIGINT) AS component "
             "FROM customer WHERE c_custkey <= 500"
+        ),
+        "asof_latest_event": (
+            "WITH ev AS (SELECT user_id, ts, max(event_id) AS event_id "
+            "FROM events GROUP BY 1, 2), "
+            "o AS (SELECT o_orderkey, o_custkey % 150 AS u, "
+            "CAST(o_orderdate AS TIMESTAMP) AS t FROM orders) "
+            "SELECT o.o_orderkey, CAST(ev.event_id AS DOUBLE) AS event_id "
+            "FROM o ASOF LEFT JOIN ev ON o.u = ev.user_id AND ev.ts <= o.t"
         ),
         "segment_orders": (
             "SELECT c_mktsegment, count(*) AS n_orders FROM orders "

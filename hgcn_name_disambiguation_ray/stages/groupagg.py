@@ -109,6 +109,75 @@ def hash_join(
     return left.join(right, join_type=join_type, num_partitions=num_partitions, on=tuple(on))
 
 
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    by: list[str],
+    on: str,
+    right_cols: list[str] | None = None,
+    n_buckets: int = 64,
+) -> Dataset:
+    """As-of join: for every left row, the latest right row with the same
+    `by` keys and right[on] <= left[on] (Ray Data has no native as-of
+    join). Both sides shuffle once by hash(by) % n_buckets — equal keys
+    co-locate — then a vectorized pandas merge_asof per bucket.
+    Partitioning assumption: one `by` group's rows fit a worker (same
+    bound as any keyed window); `on` must be a sortable dtype shared by
+    both sides. Left rows with no match keep nulls in right columns.
+    """
+    rcols = right_cols or [c for c in right.columns() if c not in by and c != on]
+
+    def tag(side: str):
+        def add(t: pa.Table) -> pa.Table:
+            buckets = _bucket_of(t.select(by).to_pandas(), by, n_buckets)
+            return t.append_column("__bucket", pa.array(buckets, type=pa.int32())).append_column(
+                "__side", pa.array([side] * t.num_rows, type=pa.string())
+            )
+
+        return add
+
+    # schemas are aligned (union requires it): each side carries the other
+    # side's exclusive columns as nulls
+    lcols = [c for c in left.columns()]
+    lsch = left.schema()
+    rsch = right.schema()
+    types = dict(zip(lsch.names, lsch.types)) | dict(zip(rsch.names, rsch.types))
+
+    def pad(missing: list[str]):
+        def body(t: pa.Table) -> pa.Table:
+            for c in missing:
+                t = t.append_column(c, pa.nulls(t.num_rows, type=types[c]))
+            return t
+
+        return body
+
+    lt = left.map_batches(tag("l"), batch_format="pyarrow").map_batches(
+        pad([c for c in rcols if c not in lcols]), batch_format="pyarrow"
+    )
+    rt = right.map_batches(tag("r"), batch_format="pyarrow").map_batches(
+        pad([c for c in lcols if c not in rcols + by + [on]]),
+        batch_format="pyarrow",
+    )
+    rt = rt.select_columns(lt.columns())
+    both = lt.union(rt)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
+        l = g[g["__side"] == "l"].drop(columns="__side")[lcols].sort_values(on, kind="stable")
+        r = g[g["__side"] == "r"].drop(columns="__side")[by + [on] + rcols].sort_values(
+            on, kind="stable"
+        )
+        r = r.rename(columns={on: f"{on}_right"})
+        if l.empty:
+            return l.head(0)
+        out = pd.merge_asof(
+            l, r, left_on=on, right_on=f"{on}_right", by=by, direction="backward"
+        )
+        return out
+
+    return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
 def bucketed_sum(
     ds: Dataset, keys: list[str], value_cols: list[str], n_buckets: int = 64
 ) -> Dataset:

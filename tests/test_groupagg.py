@@ -72,3 +72,38 @@ def test_hash_join_matches_pandas():
     pd.testing.assert_frame_equal(
         got[["k", "lv", "rv"]].astype(np.int64), want.astype(np.int64)
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_matches_pandas():
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.groupagg import asof_join
+
+    rng = np.random.default_rng(9)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, 300),
+            "t": rng.integers(0, 1000, 300).astype(np.int64),
+            "lv": np.arange(300),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, 200),
+            "t": rng.integers(0, 1000, 200).astype(np.int64),
+            "rv": np.arange(1000, 1200),
+        }
+    )
+    got = (
+        asof_join(rd.from_pandas(left), rd.from_pandas(right), by=["k"], on="t")
+        .to_pandas().sort_values("lv").reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("t", kind="stable"),
+        right.sort_values("t", kind="stable").rename(columns={"t": "t_right"}),
+        left_on="t", right_on="t_right", by="k", direction="backward",
+    ).sort_values("lv").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "t", "lv", "rv"]], want[["k", "t", "lv", "rv"]], check_dtype=False
+    )
