@@ -130,3 +130,13 @@ def test_json_summary_and_metrics_csv(ray_session, small_fixture, tmp_path):
     back = pd.read_csv(out)
     assert list(back.columns) == ["name", "Prec", "Rec", "F1"]
     assert "Avg" in set(back["name"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_overlap_stress_conformance():
+    """Two heavy-vocab-overlap persons sharing a collaborator (the
+    reference's hard case, cf. Daniel Fowler F1 0.54): the engine must
+    stay well above the reference's score on the analogous stress."""
+    _, scores = _run(dict(SPEC, overlap_stress=True), {})
+    macro = scores[scores["block_key"] == "__macro__"].iloc[0]
+    assert macro["f1"] >= 0.9, scores.to_string()
