@@ -607,6 +607,73 @@ def _q_asof_latest_event(sf_dir: str):
     )
 
 
+def _q_range_week_events(sf_dir: str):
+    """Range join: events of the mapped user within a 7-day window mapped
+    deterministically into the events' time range, counted per order
+    (interval tiling + bucketed co-location)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from hgcn_name_disambiguation_ray.stages.groupagg import range_join
+
+    DAY_US = 24 * 3600 * 1_000_000
+    WEEK_US = 7 * DAY_US
+    BASE_US = int(pd.Timestamp("2024-01-01").value // 1000)  # events live in Jan 2024
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        s = BASE_US + (df["o_orderkey"] % 20) * DAY_US
+        return pa.table(
+            {
+                "o_orderkey": pa.array(df["o_orderkey"], type=pa.int64()),
+                "u": pa.array(df["o_custkey"] % 150, type=pa.int64()),
+                "s": pa.array(s, type=pa.int64()),
+                "e": pa.array(s + WEEK_US, type=pa.int64()),
+            }
+        )
+
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id"]
+    )
+
+    def prep_events(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        at_us = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(df["user_id"], type=pa.int64()),
+                "at": pa.array(at_us, type=pa.int64()),
+                "event_id": pa.array(df["event_id"], type=pa.int64()),
+            }
+        )
+
+    joined = range_join(
+        orders.map_batches(prep_orders, batch_format="pyarrow"),
+        events.map_batches(prep_events, batch_format="pyarrow"),
+        by=["u"], start="s", end="e", at="at", granularity=WEEK_US,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_orderkey", as_index=False).size().rename(columns={"size": "n_events"})
+
+    partials = joined.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby("o_orderkey").aggregate(Sum("n_events", alias_name="n_events"))
+    # o_orderkey widened to float64 by the union-side null padding
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "n_events": t["n_events"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_segment_orders(sf_dir: str):
     """Big-big distributed hash join (orders |><| customer on custkey,
     neither side broadcast) -> order count per market segment."""
@@ -763,6 +830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_names": _q_union_names,
         "segment_orders": _q_segment_orders,
         "asof_latest_event": _q_asof_latest_event,
+        "range_week_events": _q_range_week_events,
     }
 
 
@@ -831,6 +899,14 @@ def oracle_sql() -> dict[str, str]:
         "closure_components": (
             "SELECT c_custkey AS node_id, CAST(c_custkey % 3 AS BIGINT) AS component "
             "FROM customer WHERE c_custkey <= 500"
+        ),
+        "range_week_events": (
+            "WITH o AS (SELECT o_orderkey, o_custkey % 150 AS u, "
+            "TIMESTAMP '2024-01-01' + (o_orderkey % 20) * INTERVAL 1 DAY AS s "
+            "FROM orders) "
+            "SELECT o_orderkey, count(*) AS n_events FROM o JOIN events "
+            "ON events.user_id = o.u AND events.ts >= o.s "
+            "AND events.ts <= o.s + INTERVAL 7 DAY GROUP BY 1"
         ),
         "asof_latest_event": (
             "WITH ev AS (SELECT user_id, ts, max(event_id) AS event_id "

@@ -178,6 +178,92 @@ def asof_join(
     return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
 
 
+def range_join(
+    intervals: Dataset,
+    points: Dataset,
+    by: list[str],
+    start: str,
+    end: str,
+    at: str,
+    granularity: int,
+    n_buckets: int = 64,
+) -> Dataset:
+    """Interval-point range join: every (interval row, point row) pair
+    with equal `by` keys and interval[start] <= point[at] <= interval[end]
+    (inclusive; Ray Data has no native range join). `start`/`end`/`at`
+    are int64 in the same unit.
+
+    Strategy: tile the domain into windows of `granularity` (pick ~ the
+    typical interval length — each interval then lands in O(1) windows);
+    intervals replicate into every window they overlap, points into their
+    single window; co-locate by hash(by + window) buckets and do a
+    vectorized pandas inner merge + range filter per bucket. Exact: a
+    qualifying pair always shares a window; a pair never shares two
+    (points live in exactly one), so no dedup pass is needed.
+    """
+
+    def tile_intervals(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        lo = (df[start] // granularity).to_numpy()
+        hi = (df[end] // granularity).to_numpy()
+        reps = np.maximum(hi - lo + 1, 1).astype(np.int64)
+        out = df.loc[df.index.repeat(reps)].reset_index(drop=True)
+        win = np.concatenate([np.arange(a, a + r) for a, r in zip(lo, reps)])
+        out["__win"] = win
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def tile_points(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["__win"] = df[at] // granularity
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ivals = intervals.map_batches(tile_intervals, batch_format="pyarrow")
+    pts = points.map_batches(tile_points, batch_format="pyarrow")
+
+    keys = by + ["__win"]
+
+    def tag(side: str):
+        def add(t: pa.Table) -> pa.Table:
+            buckets = _bucket_of(t.select(keys).to_pandas(), keys, n_buckets)
+            return t.append_column("__bucket", pa.array(buckets, type=pa.int32())).append_column(
+                "__side", pa.array([side] * t.num_rows, type=pa.string())
+            )
+
+        return add
+
+    icols = intervals.columns()
+    pcols = points.columns()
+    isch, psch = intervals.schema(), points.schema()
+    types = dict(zip(isch.names, isch.types)) | dict(zip(psch.names, psch.types))
+
+    def pad(missing: list[str]):
+        def body(t: pa.Table) -> pa.Table:
+            for c in missing:
+                t = t.append_column(c, pa.nulls(t.num_rows, type=types[c]))
+            return t
+
+        return body
+
+    it = ivals.map_batches(tag("i"), batch_format="pyarrow").map_batches(
+        pad([c for c in pcols if c not in icols]), batch_format="pyarrow"
+    )
+    pt = pts.map_batches(tag("p"), batch_format="pyarrow").map_batches(
+        pad([c for c in icols if c not in pcols]), batch_format="pyarrow"
+    )
+    pt = pt.select_columns(it.columns())
+    both = it.union(pt)
+    out_pcols = [c for c in pcols if c not in by]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        i = g[g["__side"] == "i"][icols + ["__win"]]
+        p = g[g["__side"] == "p"][by + ["__win"] + out_pcols]
+        out = i.merge(p, on=by + ["__win"], how="inner").drop(columns="__win")
+        keep = (out[start] <= out[at]) & (out[at] <= out[end])
+        return out[keep]
+
+    return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
 def bucketed_sum(
     ds: Dataset, keys: list[str], value_cols: list[str], n_buckets: int = 64
 ) -> Dataset:

@@ -107,3 +107,39 @@ def test_asof_join_matches_pandas():
     pd.testing.assert_frame_equal(
         got[["k", "t", "lv", "rv"]], want[["k", "t", "lv", "rv"]], check_dtype=False
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_join_matches_pandas():
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.groupagg import range_join
+
+    rng = np.random.default_rng(11)
+    iv = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, 120),
+            "s": rng.integers(0, 500, 120).astype(np.int64),
+            "iid": np.arange(120),
+        }
+    )
+    iv["e"] = iv["s"] + rng.integers(0, 60, 120)
+    pts = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, 300),
+            "at": rng.integers(0, 560, 300).astype(np.int64),
+            "pid": np.arange(300),
+        }
+    )
+    got = (
+        range_join(rd.from_pandas(iv), rd.from_pandas(pts), by=["k"],
+                   start="s", end="e", at="at", granularity=64)
+        .to_pandas().sort_values(["iid", "pid"]).reset_index(drop=True)
+    )
+    want = iv.merge(pts, on="k")
+    want = want[(want["s"] <= want["at"]) & (want["at"] <= want["e"])]
+    want = want.sort_values(["iid", "pid"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "s", "e", "iid", "at", "pid"]].astype(np.int64),
+        want[["k", "s", "e", "iid", "at", "pid"]].astype(np.int64),
+    )
