@@ -585,8 +585,7 @@ def _q_asof_latest_event(sf_dir: str):
     )
 
     def prep_events(t: pa.Table) -> pa.Table:
-        # unique ts per user (max event_id) for a deterministic as-of pick
-        df = t.to_pandas().groupby(["user_id", "ts"], as_index=False)["event_id"].max()
+        df = t.to_pandas()
         return pa.table(
             {
                 "u": pa.array(df["user_id"], type=pa.int64()),
@@ -595,8 +594,17 @@ def _q_asof_latest_event(sf_dir: str):
             }
         )
 
+    from hgcn_name_disambiguation_ray.stages.groupagg import bucketed_group_apply
+
     left = orders.map_batches(prep_orders, batch_format="pyarrow")
-    right = events.map_batches(prep_events, batch_format="pyarrow")
+    # unique ts per user (max event_id) for a deterministic as-of pick —
+    # GLOBAL dedup (bucketed by u, so every (u, t) group co-locates), not
+    # per-batch: duplicate (u, t) pairs spanning batches must not survive
+    right = bucketed_group_apply(
+        events.map_batches(prep_events, batch_format="pyarrow"),
+        ["u"],
+        lambda df: df.groupby(["u", "t"], as_index=False)["event_id"].max(),
+    )
     out = asof_join(left, right, by=["u"], on="t", right_cols=["event_id"])
     return out.map_batches(
         lambda df: pd.DataFrame(

@@ -96,23 +96,29 @@ def tokenize_batch(batch: pa.Table, text_col: str = "title") -> pa.Table:
 
 def normalized_name_key(col: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Blocking key from an entity surface name (M1 semantics,
-    reference `openAlex_to_HGCN.py:46-91`): lowercase, split on whitespace,
+    reference `openAlex_to_HGCN.py:46-91`): lowercase, split on whitespace
+    (empty parts from leading/trailing/repeated whitespace dropped),
     key = "first last" (single-token names key on that token alone)."""
-    low = pc.utf8_lower(col)
+    low = pc.fill_null(pc.utf8_lower(col), "")
     parts = pc.split_pattern_regex(low, pattern=r"\s+")
     if isinstance(parts, pa.ChunkedArray):
         parts = parts.combine_chunks()
-    first = pc.list_element(parts, 0)
-    n = pc.list_value_length(parts)
-    last_idx = pc.subtract(n, 1)
-    # list_element needs a scalar index; gather last via flattened offsets
     offsets = parts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    values = parts.values
-    last_pos = np.maximum(offsets[1:] - 1, offsets[:-1])
-    last = values.take(pa.array(last_pos))
-    first_np = np.asarray(first.to_pandas(), dtype=object)
-    last_np = np.asarray(last.to_pandas(), dtype=object)
-    same = first_np == last_np
-    out = np.where(same, first_np, np.char.add(np.char.add(first_np.astype(str), " "), last_np.astype(str)))
-    _ = last_idx, n  # vectorized helpers retained for clarity
+    flat = np.asarray(parts.values.to_pandas(), dtype=object)
+    lens = np.frompyfunc(len, 1, 1)(flat).astype(np.int64) if len(flat) else np.zeros(0, np.int64)
+    keep = lens > 0
+    cum = np.zeros(len(flat) + 1, dtype=np.int64)
+    np.cumsum(keep, out=cum[1:])
+    kept = flat[keep]
+    starts, ends = cum[offsets[:-1]], cum[offsets[1:]]
+    n_rows = len(starts)
+    first = np.empty(n_rows, dtype=object)
+    last = np.empty(n_rows, dtype=object)
+    first[:] = ""
+    last[:] = ""
+    nz = ends > starts
+    first[nz] = kept[starts[nz]]
+    last[nz] = kept[ends[nz] - 1]
+    same = first == last
+    out = np.where(same, first, np.char.add(np.char.add(first.astype(str), " "), last.astype(str)))
     return pa.array(out.astype(object), type=pa.string())

@@ -153,7 +153,14 @@ def connected_components(
         return pd.concat([out, roots], ignore_index=True)
 
     mapped = cur.map_batches(finalize, batch_format="pandas")
-    # a root may appear in several batches; dedup (root, root) rows
-    return mapped.groupby("mention_id").map_groups(
-        lambda g: g.sort_values("component").head(1), batch_format="pandas"
+    # a root may appear in several batches; dedup to the min component per
+    # node. mention_id is the highest-cardinality key in the pipeline, so
+    # this runs through the bucketed pattern (vectorized pandas per bucket),
+    # never a Ray dispatch per node.
+    from hgcn_name_disambiguation_ray.stages.groupagg import bucketed_group_apply
+
+    return bucketed_group_apply(
+        mapped,
+        ["mention_id"],
+        lambda df: df.groupby("mention_id", as_index=False, sort=False)["component"].min(),
     )

@@ -164,15 +164,22 @@ def asof_join(
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns="__bucket")
         l = g[g["__side"] == "l"].drop(columns="__side")[lcols].sort_values(on, kind="stable")
+        # sort right on (on, *rcols) so equal-`on` duplicates resolve to the
+        # max rcols tuple deterministically (merge_asof picks the last row)
         r = g[g["__side"] == "r"].drop(columns="__side")[by + [on] + rcols].sort_values(
-            on, kind="stable"
+            [on] + rcols, kind="stable"
         )
         r = r.rename(columns={on: f"{on}_right"})
-        if l.empty:
-            return l.head(0)
+        # merge_asof keeps the full output schema even for empty sides
         out = pd.merge_asof(
             l, r, left_on=on, right_on=f"{on}_right", by=by, direction="backward"
         )
+        # unmatched left rows null-fill right columns (int -> float64), but
+        # all-matched / empty-left buckets would keep int64 — normalize so
+        # every bucket emits one schema (Arrow rejects mixed block dtypes)
+        for c in rcols:
+            if pd.api.types.is_integer_dtype(out[c]):
+                out[c] = out[c].astype(np.float64)
         return out
 
     return both.groupby("__bucket").map_groups(merge, batch_format="pandas")

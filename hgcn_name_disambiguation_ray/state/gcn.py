@@ -80,7 +80,9 @@ class BlockEncoder:
         b1, b2, eps = 0.9, 0.999, 1e-8
         lr, lam = cfg.learning_rate, cfg.l2_lambda
         bs = cfg.train_batch_size
-        total = int(cfg.epochs_factor * len(u_i) / bs)
+        # floor at 1 so tiny blocks (< bs/epochs_factor pairs) still take
+        # optimizer steps instead of returning a random projection
+        total = max(1, int(cfg.epochs_factor * len(u_i) / bs))
         n_pairs = len(u_i)
         for t in range(1, total + 1):
             lo = ((t - 1) * bs) % n_pairs

@@ -143,3 +143,42 @@ def test_range_join_matches_pandas():
         got[["k", "s", "e", "iid", "at", "pid"]].astype(np.int64),
         want[["k", "s", "e", "iid", "at", "pid"]].astype(np.int64),
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_left_only_buckets_keep_schema():
+    """Buckets holding only left rows must emit the full output schema with
+    consistent right-column dtypes (float64 for null-fillable ints)."""
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.groupagg import asof_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "t": [10, 20, 30, 40], "lv": [1, 2, 3, 4]})
+    right = pd.DataFrame({"k": [2], "t": [5], "rv": [7]})  # keys 1/3/4 left-only
+    out = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right), by=["k"], on="t",
+        right_cols=["rv"], n_buckets=8,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert len(out) == 4
+    assert out["rv"].dtype == np.float64
+    assert out.loc[out["k"] == 2, "rv"].iloc[0] == 7.0
+    assert out.loc[out["k"] != 2, "rv"].isna().all()
+    assert out["lv"].tolist() == [1, 2, 3, 4]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_duplicate_on_ties_resolve_to_max_rcols():
+    """Equal (by, on) right rows must resolve deterministically to the max
+    rcols tuple, regardless of input row order."""
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.groupagg import asof_join
+
+    left = pd.DataFrame({"k": [1], "t": [10], "lv": [0]})
+    for order in ([3, 9, 5], [9, 5, 3]):
+        right = pd.DataFrame({"k": [1, 1, 1], "t": [10, 10, 10], "rv": order})
+        out = asof_join(
+            rd.from_pandas(left), rd.from_pandas(right), by=["k"], on="t",
+            right_cols=["rv"],
+        ).to_pandas()
+        assert out["rv"].tolist() == [9.0]

@@ -57,3 +57,11 @@ def test_normalized_name_key():
     keys = normalized_name_key(names).to_pylist()
     assert keys[0] == keys[1] == keys[2] == "terry fry"
     assert keys[3] == "fry"
+
+
+def test_normalized_name_key_edge_whitespace():
+    # leading/trailing/repeated whitespace must not produce empty parts
+    # (the M1 semantics and the blocking_keys oracle filter length>0 parts)
+    names = pa.array([" smith", "john ", "  anna   maria  lee ", "\tbob\tray\t", None])
+    keys = normalized_name_key(names).to_pylist()
+    assert keys == ["smith", "john", "anna lee", "bob ray", ""]
