@@ -111,6 +111,32 @@ def simhash(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> int:
     return int(out)
 
 
+def simhash_flat(flat_hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """64-bit SimHash per document over flattened token-hash multisets.
+
+    `flat_hashes` concatenates every doc's token hashes (duplicates kept —
+    SimHash is multiset-weighted), `offsets` (n_docs+1) the boundaries.
+    Segmented, fully vectorized equivalent of calling `simhash` per doc;
+    empty docs fingerprint to 0.
+    """
+    n_docs = len(offsets) - 1
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if len(flat_hashes) == 0 or n_docs == 0:
+        return out
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    bits = ((flat_hashes[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+    contrib = bits * 2 - 1                      # (N, 64) in {-1, +1}
+    nonempty = offsets[:-1] < offsets[1:]
+    # consecutive nonempty starts are each other's end offsets (empty
+    # segments contribute no rows), so reduceat segments are exact
+    sums = np.add.reduceat(contrib, offsets[:-1][nonempty], axis=0)
+    fp_bits = (sums > 0).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        vals = np.bitwise_or.reduce(fp_bits << shifts, axis=1)
+    out[nonempty] = vals
+    return out
+
+
 def hamming_distance64(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     """Vectorized Hamming distance between uint64 arrays."""
     z = np.bitwise_xor(x, y)

@@ -10,18 +10,35 @@ core; the reference's only dedup is the by-id `unique_works` dict,
                        candidate pairs -> signature-estimated Jaccard
                        verify -> transitive closure -> canonical ids
   * ngram_jaccard_dedup — same candidate generation, EXACT n-gram
-                       Jaccard verify (token sets shipped only for
-                       candidates)
+                       Jaccard verify over per-doc shingle-hash sets
   * simhash_dedup    — 64-bit SimHash, banded into 4x16-bit tables,
                        Hamming-distance verify, closure
+  * embedding_cosine_dedup — random-hyperplane LSH over an embedding
+                       column, exact-cosine verify, closure
+
+Everything streams. NOTHING here materializes an unbounded set on the
+driver: at web scale 30-50 % of the corpus is duplicated, so candidate
+pairs / signatures / vectors are NOT small relative to the input.
+
+  * minhash / ngram verify = two distributed hash joins (candidates
+    ⋈ features on u, then on v) + a vectorized per-batch check. The
+    feature payload (128-perm signature / shingle-hash set) is too wide
+    to replicate into every band row, so the join ships it exactly once
+    per referenced vertex.
+  * simhash / embedding verify runs INSIDE the candidate-pair bucket:
+    the (narrow) fingerprint / vector rides along with the band rows, so
+    pair expansion and verification happen in the same partition with
+    zero additional shuffles.
 
 All signatures are computed vectorized per batch (flat token arrays +
-segmented numpy minima); every stage is a map_batches/groupby composition
-— no driver-side loops over rows. Canonical id = min doc id of the
-duplicate component (deterministic).
+segmented numpy minima); shingle hashes are a mix-chain over consecutive
+token hashes — no per-row Python loops and no string re-joins. Canonical
+id = min doc id of the duplicate component (deterministic).
 """
 
 from __future__ import annotations
+
+from collections.abc import Callable
 
 import numpy as np
 import pandas as pd
@@ -34,12 +51,14 @@ from hgcn_name_disambiguation_ray.functions.hashing import (
     hamming_distance64,
     minhash_signatures_flat,
     perm_params,
-    simhash,
-    stable_hash64,
+    simhash_flat,
     stable_hash64_array,
 )
 from hgcn_name_disambiguation_ray.stages.closure import connected_components
-from hgcn_name_disambiguation_ray.stages.groupagg import bucketed_group_apply
+from hgcn_name_disambiguation_ray.stages.groupagg import bucketed_group_apply, hash_join
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+_SHINGLE_SEED = np.uint64(0x51_7C_C1_B7)
 
 
 def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
@@ -71,54 +90,160 @@ def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> 
     return merged.select_columns(["keep_id", "n_copies"])
 
 
-def _shingles(tokens: list[str], n: int) -> list[str]:
-    if len(tokens) < n:
-        return [" ".join(tokens)] if tokens else []
-    return [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+# --------------------------------------------------------------------------
+# vectorized shingle construction
+# --------------------------------------------------------------------------
+
+def _grouped_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated — the classic segmented arange."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
+def _token_hashes_flat(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """Lowercased whitespace tokens -> (flat uint64 hashes, offsets).
+
+    Mirrors Python's str.split() semantics (runs of whitespace, empties
+    dropped) with Arrow kernels + one hash pass over distinct tokens."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    low = pc.utf8_lower(pc.fill_null(texts, ""))
+    split = pc.split_pattern_regex(low, pattern=r"\s+")
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    offsets = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = np.asarray(split.values.to_pandas(), dtype=object)
+    lens = (
+        np.frompyfunc(len, 1, 1)(flat).astype(np.int64)
+        if len(flat)
+        else np.zeros(0, dtype=np.int64)
+    )
+    keep = lens > 0
+    cum = np.zeros(len(flat) + 1, dtype=np.int64)
+    np.cumsum(keep, out=cum[1:])
+    return stable_hash64_array(flat[keep]), cum[offsets]
+
+
+def _shingle_hashes_flat(
+    th: np.ndarray, offsets: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """n-token shingle hashes per doc (mix-chain over consecutive token
+    hashes). Docs with 0 < len < n contribute one whole-doc shingle;
+    empty docs contribute none. Fully vectorized."""
+    L = np.diff(offsets)
+    n_sh = np.where(L >= n, L - n + 1, (L > 0).astype(np.int64))
+    sh_offsets = np.zeros(len(L) + 1, dtype=np.int64)
+    np.cumsum(n_sh, out=sh_offsets[1:])
+    out = np.zeros(int(sh_offsets[-1]), dtype=np.uint64)
+    if len(out) == 0:
+        return out, sh_offsets
+
+    full = L >= n
+    if full.any():
+        cnt = (L - n + 1)[full]
+        starts = np.repeat(offsets[:-1][full], cnt) + _grouped_arange(cnt)
+        h = np.full(len(starts), _SHINGLE_SEED, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(n):
+                h = (h * _MIX) ^ th[starts + j]
+        out_pos = np.repeat(sh_offsets[:-1][full], cnt) + _grouped_arange(cnt)
+        out[out_pos] = h
+
+    short = (L > 0) & (L < n)
+    if short.any():
+        for ln in range(1, n):
+            m = short & (L == ln)
+            if not m.any():
+                continue
+            b = offsets[:-1][m]
+            h = np.full(int(m.sum()), _SHINGLE_SEED, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(ln):
+                    h = (h * _MIX) ^ th[b + j]
+            out[sh_offsets[:-1][m]] = h
+    return out, sh_offsets
+
+
+def _unique_per_doc(vals: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted-unique values per doc segment (set semantics), vectorized."""
+    n_docs = len(offsets) - 1
+    doc = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offsets))
+    order = np.lexsort((vals, doc))
+    sv, sd = vals[order], doc[order]
+    new = np.r_[True, (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])] if len(sv) else np.zeros(0, bool)
+    uv, ud = sv[new], sd[new]
+    counts = np.bincount(ud, minlength=n_docs)
+    uoff = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=uoff[1:])
+    return uv, uoff
+
+
+def _bin_from_u64(vals: np.ndarray, offsets: np.ndarray) -> pa.Array:
+    """uint64 segments -> one large_binary row per segment (8 B/value).
+
+    Arrow's hash join rejects list-typed non-key fields, so per-doc
+    signature / shingle-set payloads travel as binary blobs; both encode
+    and decode are numpy buffer views, no per-row Python."""
+    data = pa.py_buffer(np.ascontiguousarray(vals, dtype=np.uint64).tobytes())
+    offs = pa.py_buffer((offsets.astype(np.int64) * 8).tobytes())
+    return pa.Array.from_buffers(pa.large_binary(), len(offsets) - 1, [None, offs, data])
+
+
+def _u64_from_bin(col: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """large_binary column -> (flat uint64 values, row offsets)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.null_count:
+        raise ValueError("binary feature column must be non-null")
+    offs_all = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+    offs = offs_all[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint64)
+    vals = data[offs[0] // 8 : offs[-1] // 8]
+    return vals, (offs - offs[0]) // 8
 
 
 class _SignatureStage:
-    """Per-batch MinHash signatures over word shingles of `text_col`."""
+    """Per-batch MinHash signatures over word-shingle hashes of `text_col`.
+
+    With `with_sets=True` also emits the sorted-unique shingle-hash set
+    per doc (for exact-Jaccard verification)."""
 
     def __init__(self, text_col: str, id_col: str, num_perms: int, bands: int,
-                 shingle_n: int, seed: int):
+                 shingle_n: int, seed: int, with_sets: bool = False):
         self.text_col = text_col
         self.id_col = id_col
         self.bands = bands
         self.shingle_n = shingle_n
+        self.with_sets = with_sets
         self.a, self.b = perm_params(num_perms, seed)
 
-    def signatures(self, t: pa.Table) -> tuple[list, np.ndarray]:
-        texts = pc.utf8_lower(t[self.text_col])
-        split = pc.split_pattern_regex(texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts, r"\s+")
-        toks = split.to_pylist()
-        flat: list[str] = []
-        offsets = [0]
-        for tk in toks:
-            flat.extend(_shingles([x for x in (tk or []) if x], self.shingle_n))
-            offsets.append(len(flat))
-        th = stable_hash64_array(np.asarray(flat, dtype=object)) if flat else np.zeros(0, np.uint64)
-        sigs = minhash_signatures_flat(th, np.asarray(offsets), self.a, self.b)
-        return t[self.id_col].to_pylist(), sigs
-
     def __call__(self, t: pa.Table) -> pa.Table:
-        """One row per doc: (doc_id, signature list<uint64>)."""
-        ids, sigs = self.signatures(t)
-        return pa.table(
-            {
-                "doc_id": pa.array(ids),
-                "signature": pa.array([s.tolist() for s in sigs], type=pa.list_(pa.uint64())),
-            }
-        )
+        th, toff = _token_hashes_flat(t[self.text_col])
+        sh, soff = _shingle_hashes_flat(th, toff, self.shingle_n)
+        sigs = minhash_signatures_flat(sh, soff, self.a, self.b)
+        k = len(self.a)
+        n = t.num_rows
+        cols = {
+            "doc_id": t[self.id_col],
+            "signature": _bin_from_u64(
+                sigs.reshape(-1), np.arange(0, (n + 1) * k, k, dtype=np.int64)
+            ),
+        }
+        if self.with_sets:
+            uv, uoff = _unique_per_doc(sh, soff)
+            cols["shingles"] = _bin_from_u64(uv, uoff)
+        return pa.table(cols)
 
 
 def _explode_bands(n_bands: int):
     """(doc_id, signature) -> (doc_id, band, bucket) band rows."""
 
     def body(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        sigs = np.asarray(t["signature"].to_pylist(), dtype=np.uint64)
-        if len(ids) == 0:
+        n = t.num_rows
+        if n == 0:
             return pa.table(
                 {
                     "doc_id": pa.array([], type=t["doc_id"].type),
@@ -126,17 +251,24 @@ def _explode_bands(n_bands: int):
                     "bucket": pa.array([], type=pa.uint64()),
                 }
             )
+        vals, _ = _u64_from_bin(t["signature"])
+        sigs = vals.reshape(n, -1)
         bands = band_keys(sigs, n_bands)
         return pa.table(
             {
-                "doc_id": pa.array(np.repeat(np.asarray(ids), n_bands)),
-                "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), len(ids))),
+                "doc_id": t["doc_id"].take(pa.array(np.repeat(np.arange(n), n_bands))),
+                "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n)),
                 "bucket": pa.array(bands.reshape(-1), type=pa.uint64()),
             }
         )
 
     return body
 
+
+# --------------------------------------------------------------------------
+# candidate-pair generation (bucketed; optional feature carry + in-bucket
+# verification for ops with narrow per-doc features)
+# --------------------------------------------------------------------------
 
 def _pairs_in_bucket_groups(df: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
     """Vectorized pair expansion for one bucket partition: pandas groupby
@@ -177,6 +309,97 @@ def _candidate_pairs(band_rows: Dataset, max_bucket: int = 200) -> Dataset:
     )
 
 
+def _candidate_pairs_verified(
+    band_rows: Dataset,
+    feat_col: str,
+    verify: Callable[[pd.DataFrame], pd.DataFrame],
+    max_bucket: int = 200,
+    n_buckets: int = 64,
+) -> Dataset:
+    """Pair expansion WITH the per-doc feature carried into the bucket, so
+    verification runs vectorized in the same partition (no second shuffle,
+    no driver materialization). `verify` maps a DataFrame(u, v, feat_u,
+    feat_v) to the surviving DataFrame(u, v).
+
+    Use only for NARROW features (a uint64 fingerprint, one embedding):
+    the feature is replicated once per band row."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"u": pd.Series(dtype=df["doc_id"].dtype),
+                              "v": pd.Series(dtype=df["doc_id"].dtype)})
+        df = df.drop_duplicates(["band", "bucket", "doc_id"])
+        dup = df.duplicated(["band", "bucket"], keep=False)
+        df = df[dup]
+        if df.empty:
+            return empty
+        out = []
+        for (_, _), g in df.groupby(["band", "bucket"], sort=False):
+            ids = g["doc_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            feats = g[feat_col].to_numpy()[order]
+            if len(ids) > max_bucket:
+                iu = np.zeros(len(ids) - 1, dtype=np.int64)
+                iv = np.arange(1, len(ids), dtype=np.int64)
+            else:
+                iu, iv = np.triu_indices(len(ids), k=1)
+            out.append(
+                pd.DataFrame(
+                    {"u": ids[iu], "v": ids[iv], "feat_u": feats[iu], "feat_v": feats[iv]}
+                )
+            )
+        pairs = pd.concat(out, ignore_index=True).drop_duplicates(["u", "v"])
+        if pairs.empty:
+            return empty
+        kept = verify(pairs)
+        return kept if len(kept) else empty
+
+    return bucketed_group_apply(band_rows, ["band", "bucket"], per_bucket, n_buckets=n_buckets)
+
+
+# --------------------------------------------------------------------------
+# distributed feature attach + verify (wide features: signatures, sets)
+# --------------------------------------------------------------------------
+
+def _verify_pairs_by_join(
+    cand: Dataset,
+    feats: Dataset,
+    feat_col: str,
+    verify_batch: Callable[[pa.Table], pa.Table],
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Attach per-vertex features to candidate pairs with two distributed
+    hash joins (on u, then on v) and run a vectorized verify per batch.
+
+    This is the scale path: candidate pairs at web scale are O(corpus), so
+    neither the pairs nor the feature map may be pulled to the driver or
+    broadcast whole. The inner joins also restrict the feature shuffle to
+    candidate vertices — non-colliding docs never ship their features."""
+    fu = feats.map_batches(
+        lambda t: pa.table({"u": t["doc_id"], f"{feat_col}_u": t[feat_col]}),
+        batch_format="pyarrow",
+    )
+    fv = feats.map_batches(
+        lambda t: pa.table({"v": t["doc_id"], f"{feat_col}_v": t[feat_col]}),
+        batch_format="pyarrow",
+    )
+    j = hash_join(cand, fu, on=["u"], num_partitions=num_partitions)
+    j = hash_join(j, fv, on=["v"], num_partitions=num_partitions)
+    return j.map_batches(verify_batch, batch_format="pyarrow")
+
+
+def _empty_edges(id_type: pa.DataType) -> pa.Table:
+    return pa.table({"u": pa.array([], type=id_type), "v": pa.array([], type=id_type)})
+
+
+def _finalize_components(verified: Dataset) -> Dataset:
+    comps = connected_components(verified)
+    return comps.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["mention_id"], "canonical_id": df["component"]}),
+        batch_format="pandas",
+    )
+
+
 def minhash_lsh_dedup(
     ds: Dataset,
     text_col: str = "text",
@@ -188,54 +411,29 @@ def minhash_lsh_dedup(
     seed: int = 7,
 ) -> Dataset:
     """Near-dup groups: (doc_id, canonical_id). Jaccard estimated from
-    MinHash signatures (fraction of equal components) >= threshold."""
+    MinHash signatures (fraction of equal components) >= threshold.
+
+    Signatures are wide (num_perms x uint64), so verification attaches
+    them to candidate pairs via two bucketed hash joins — never a driver
+    pull or whole-map broadcast (`_verify_pairs_by_join`)."""
     sig_stage = _SignatureStage(text_col, id_col, num_perms, bands, shingle_n, seed)
     sigs_ds = ds.map_batches(sig_stage, batch_format="pyarrow").materialize()
-    band_rows = sigs_ds.map_batches(_explode_bands(bands), batch_format="pyarrow")
-    cand = _candidate_pairs(band_rows).materialize()
+    band_rows = sigs_ds.select_columns(["doc_id", "signature"]).map_batches(
+        _explode_bands(bands), batch_format="pyarrow"
+    )
+    cand = _candidate_pairs(band_rows)
 
-    # verify against a broadcast signature lookup restricted to CANDIDATE
-    # VERTICES (the LSH-collision set — small relative to the corpus; at
-    # larger candidate volumes this becomes a bucketed hash join instead).
-    import ray
+    def verify(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return _empty_edges(t["u"].type)
+        su, _ = _u64_from_bin(t["signature_u"])
+        sv, _ = _u64_from_bin(t["signature_v"])
+        eq = (su.reshape(n, -1) == sv.reshape(n, -1)).mean(axis=1)
+        return t.select(["u", "v"]).filter(pa.array(eq >= threshold))
 
-    cand_pdf = cand.to_pandas()
-    vertex_ids = set(cand_pdf["u"]).union(cand_pdf["v"])
-
-    def keep_vertices(t: pa.Table) -> pa.Table:
-        return t.filter(pa.array([d in vertex_ids for d in t["doc_id"].to_pylist()]))
-
-    sig_df = sigs_ds.map_batches(keep_vertices, batch_format="pyarrow").to_pandas()
-    sig_map = {
-        d: np.asarray(s, dtype=np.uint64)
-        for d, s in zip(sig_df["doc_id"], sig_df["signature"])
-    }
-    sig_ref = ray.put(sig_map)
-
-    class Verify:
-        def __init__(self, ref, thr):
-            self.sig = ray.get(ref)
-            self.thr = thr
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if df.empty:
-                return pd.DataFrame({"u": pd.Series(dtype=object), "v": pd.Series(dtype=object)})
-            keep_u, keep_v = [], []
-            for u, v in zip(df["u"], df["v"]):
-                su, sv = self.sig.get(u), self.sig.get(v)
-                if su is not None and sv is not None and (su == sv).mean() >= self.thr:
-                    keep_u.append(u)
-                    keep_v.append(v)
-            return pd.DataFrame({"u": keep_u, "v": keep_v})
-
-    verified = cand.map_batches(Verify, fn_constructor_args=(sig_ref, threshold),
-                                batch_format="pandas", concurrency=(1, 4))
-    comps = connected_components(verified)
-
-    def rename(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": df["mention_id"], "canonical_id": df["component"]})
-
-    return comps.map_batches(rename, batch_format="pandas")
+    verified = _verify_pairs_by_join(cand, sigs_ds, "signature", verify)
+    return _finalize_components(verified)
 
 
 def ngram_jaccard_dedup(
@@ -246,60 +444,44 @@ def ngram_jaccard_dedup(
     shingle_n: int = 3,
     seed: int = 7,
 ) -> Dataset:
-    """Like minhash_lsh_dedup but with EXACT n-gram Jaccard verification:
-    candidate pairs from LSH, token shingle sets shipped only for the
-    (small) candidate vertex set."""
-    sig_stage = _SignatureStage(text_col, id_col, 128, 32, shingle_n, seed)
-    sigs_ds = ds.map_batches(sig_stage, batch_format="pyarrow")
-    band_rows = sigs_ds.map_batches(_explode_bands(32), batch_format="pyarrow")
-    cand = _candidate_pairs(band_rows).materialize()
-
-    import ray
-
-    # shingle sets for candidate vertices only
-    cand_df = cand.to_pandas()
-    vertex_ids = set(cand_df["u"]).union(cand_df["v"])
-
-    def shingle_sets(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_pylist()
-        texts = t[text_col].to_pylist()
-        out_id, out_sh = [], []
-        for i, txt in zip(ids, texts):
-            if i in vertex_ids:
-                toks = [x for x in (txt or "").lower().split() if x]
-                out_id.append(i)
-                out_sh.append(sorted(set(_shingles(toks, shingle_n))))
-        return pa.table({"doc_id": pa.array(out_id), "shingles": pa.array(out_sh, type=pa.list_(pa.string()))})
-
-    sets_df = ds.map_batches(shingle_sets, batch_format="pyarrow").to_pandas()
-    smap = {r["doc_id"]: set(r["shingles"]) for _, r in sets_df.iterrows()}
-    sref = ray.put(smap)
-
-    class VerifyExact:
-        def __init__(self, ref, thr):
-            self.sets = ray.get(ref)
-            self.thr = thr
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            keep_u, keep_v = [], []
-            for u, v in zip(df["u"], df["v"]):
-                su, sv = self.sets.get(u), self.sets.get(v)
-                if not su or not sv:
-                    continue
-                inter = len(su & sv)
-                union = len(su | sv)
-                if union and inter / union >= self.thr:
-                    keep_u.append(u)
-                    keep_v.append(v)
-            return pd.DataFrame({"u": keep_u, "v": keep_v})
-
-    verified = cand.map_batches(VerifyExact, fn_constructor_args=(sref, threshold),
-                                batch_format="pandas", concurrency=(1, 4))
-    comps = connected_components(verified)
-    return comps.map_batches(
-        lambda df: pd.DataFrame({"doc_id": df["mention_id"], "canonical_id": df["component"]}),
-        batch_format="pandas",
+    """Like minhash_lsh_dedup but with EXACT n-gram Jaccard verification
+    over per-doc sorted shingle-hash sets. Candidate pairs from LSH; the
+    (variable-width) sets are attached by distributed hash join and the
+    intersection is computed by a segmented sort — vectorized, exact
+    (up to 64-bit shingle-hash collisions), no driver materialization."""
+    sig_stage = _SignatureStage(text_col, id_col, 128, 32, shingle_n, seed, with_sets=True)
+    feats = ds.map_batches(sig_stage, batch_format="pyarrow").materialize()
+    band_rows = feats.select_columns(["doc_id", "signature"]).map_batches(
+        _explode_bands(32), batch_format="pyarrow"
     )
+    cand = _candidate_pairs(band_rows)
+
+    def verify(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return _empty_edges(t["u"].type)
+        vu, ou = _u64_from_bin(t["shingles_u"])
+        vv, ov = _u64_from_bin(t["shingles_v"])
+        lu, lv = np.diff(ou), np.diff(ov)
+        vals = np.concatenate([vu, vv])
+        rows = np.concatenate(
+            [np.repeat(np.arange(n, dtype=np.int64), lu), np.repeat(np.arange(n, dtype=np.int64), lv)]
+        )
+        # each side is a set, so a common value appears exactly twice ->
+        # intersection size = adjacent-duplicate count after a stable sort
+        order = np.lexsort((vals, rows))
+        sv_, sr_ = vals[order], rows[order]
+        dup = (sr_[1:] == sr_[:-1]) & (sv_[1:] == sv_[:-1]) if len(sv_) else np.zeros(0, bool)
+        inter = np.bincount(sr_[1:][dup], minlength=n)
+        union = lu + lv - inter
+        with np.errstate(invalid="ignore", divide="ignore"):
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        keep = (lu > 0) & (lv > 0) & (jac >= threshold)
+        return t.select(["u", "v"]).filter(pa.array(keep))
+
+    verified = _verify_pairs_by_join(cand, feats.select_columns(["doc_id", "shingles"]),
+                                     "shingles", verify)
+    return _finalize_components(verified)
 
 
 def simhash_dedup(
@@ -310,71 +492,46 @@ def simhash_dedup(
 ) -> Dataset:
     """SimHash near-dup: 64-bit fingerprints, 4x16-bit band tables (any
     pair within Hamming distance <= 3 collides in at least one band),
-    Hamming verify, closure -> (doc_id, canonical_id, fingerprint)."""
+    Hamming verify IN the candidate bucket (the fingerprint is 8 bytes,
+    cheap to carry with the band rows), closure -> (doc_id, canonical_id)."""
 
     def fingerprints(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        ids = t[id_col].to_pylist()
-        fps = np.zeros(len(ids), dtype=np.uint64)
-        for i, txt in enumerate(texts):
-            toks = [x for x in (txt or "").lower().split() if x]
-            th = stable_hash64_array(np.asarray(toks, dtype=object)) if toks else np.zeros(0, np.uint64)
-            fps[i] = simhash(th)
+        th, toff = _token_hashes_flat(t[text_col])
+        fps = simhash_flat(th, toff)
         return pa.table(
             {
-                "doc_id": pa.array(ids),
+                "doc_id": t[id_col],
                 "fingerprint": pa.array(fps, type=pa.uint64()),
             }
         )
 
     def explode(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        fps = np.asarray(t["fingerprint"].to_pylist(), dtype=np.uint64)
-        out_ids, out_band, out_key = [], [], []
-        for bi in range(4):
-            shift = np.uint64(16 * bi)
-            keys = (fps >> shift) & np.uint64(0xFFFF)
-            out_ids.extend(ids)
-            out_band.extend([bi] * len(ids))
-            out_key.extend(keys.tolist())
+        n = t.num_rows
+        fps = np.asarray(t["fingerprint"].to_pandas(), dtype=np.uint64)
+        ids = t["doc_id"].take(pa.array(np.tile(np.arange(n), 4)))
+        bands = np.repeat(np.arange(4, dtype=np.int32), n)
+        shifts = np.repeat(np.arange(4, dtype=np.uint64) * np.uint64(16), n)
+        keys = (np.tile(fps, 4) >> shifts) & np.uint64(0xFFFF)
         return pa.table(
             {
-                "doc_id": pa.array(out_ids),
-                "band": pa.array(out_band, type=pa.int32()),
-                "bucket": pa.array(out_key, type=pa.uint64()),
+                "doc_id": ids,
+                "band": pa.array(bands, type=pa.int32()),
+                "bucket": pa.array(keys, type=pa.uint64()),
+                "fingerprint": pa.array(np.tile(fps, 4), type=pa.uint64()),
             }
         )
 
-    fp_ds = ds.map_batches(fingerprints, batch_format="pyarrow").materialize()
+    fp_ds = ds.map_batches(fingerprints, batch_format="pyarrow")
     band_rows = fp_ds.map_batches(explode, batch_format="pyarrow")
-    cand = _candidate_pairs(band_rows)
 
-    import ray
+    def verify(pairs: pd.DataFrame) -> pd.DataFrame:
+        fu = pairs["feat_u"].to_numpy().astype(np.uint64)
+        fv = pairs["feat_v"].to_numpy().astype(np.uint64)
+        keep = hamming_distance64(fu, fv) <= max_hamming
+        return pairs.loc[keep, ["u", "v"]]
 
-    fp_df = fp_ds.to_pandas()
-    fmap = dict(zip(fp_df["doc_id"], fp_df["fingerprint"].astype(np.uint64)))
-    fref = ray.put(fmap)
-
-    class VerifyHamming:
-        def __init__(self, ref, maxd):
-            self.fp = ray.get(ref)
-            self.maxd = maxd
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if df.empty:
-                return pd.DataFrame({"u": pd.Series(dtype=object), "v": pd.Series(dtype=object)})
-            fu = np.array([self.fp[u] for u in df["u"]], dtype=np.uint64)
-            fv = np.array([self.fp[v] for v in df["v"]], dtype=np.uint64)
-            keep = hamming_distance64(fu, fv) <= self.maxd
-            return pd.DataFrame({"u": df["u"].to_numpy()[keep], "v": df["v"].to_numpy()[keep]})
-
-    verified = cand.map_batches(VerifyHamming, fn_constructor_args=(fref, max_hamming),
-                                batch_format="pandas", concurrency=(1, 4))
-    comps = connected_components(verified)
-    return comps.map_batches(
-        lambda df: pd.DataFrame({"doc_id": df["mention_id"], "canonical_id": df["component"]}),
-        batch_format="pandas",
-    )
+    verified = _candidate_pairs_verified(band_rows, "fingerprint", verify)
+    return _finalize_components(verified)
 
 
 def embedding_cosine_dedup(
@@ -386,15 +543,18 @@ def embedding_cosine_dedup(
     seed: int = 11,
 ) -> Dataset:
     """Near-dup by embedding cosine: random-hyperplane LSH buckets ->
-    candidate pairs -> exact cosine verify -> closure."""
+    candidate pairs -> exact cosine verify IN the candidate bucket (the
+    vector rides along with its two band rows; no driver materialization
+    of the vector table) -> closure."""
 
     def buckets(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_pylist()
+        n = t.num_rows
         vecs = np.array(t[vec_col].to_pylist(), dtype=np.float64)
-        if len(vecs) == 0:
+        if n == 0:
             return pa.table({"doc_id": pa.array([], type=t[id_col].type),
                              "band": pa.array([], type=pa.int32()),
-                             "bucket": pa.array([], type=pa.uint64())})
+                             "bucket": pa.array([], type=pa.uint64()),
+                             "vec": pa.array([], type=pa.list_(pa.float64()))})
         rng = np.random.default_rng(seed)
         planes = rng.normal(size=(vecs.shape[1], n_planes))
         bits = (vecs @ planes) > 0  # (n, planes)
@@ -402,44 +562,29 @@ def embedding_cosine_dedup(
         half = n_planes // 2
         k1 = np.packbits(bits[:, :half], axis=1, bitorder="little")[:, 0].astype(np.uint64)
         k2 = np.packbits(bits[:, half:], axis=1, bitorder="little")[:, 0].astype(np.uint64)
+        d = vecs.shape[1]
+        both = np.concatenate([vecs, vecs]).reshape(-1)
+        vec_list = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (2 * n + 1) * d, d, dtype=np.int64)),
+            pa.array(both, type=pa.float64()),
+        )
         return pa.table(
             {
-                "doc_id": pa.array(ids + ids),
-                "band": pa.array([0] * len(ids) + [1] * len(ids), type=pa.int32()),
+                "doc_id": t[id_col].take(pa.array(np.tile(np.arange(n), 2))),
+                "band": pa.array(np.repeat(np.arange(2, dtype=np.int32), n)),
                 "bucket": pa.array(np.concatenate([k1, k2]), type=pa.uint64()),
+                "vec": vec_list,
             }
         )
 
-    band_rows = ds.map_batches(buckets, batch_format="pyarrow").materialize()
-    cand = _candidate_pairs(band_rows, max_bucket=500)
+    band_rows = ds.map_batches(buckets, batch_format="pyarrow")
 
-    import ray
+    def verify(pairs: pd.DataFrame) -> pd.DataFrame:
+        a = np.stack([np.asarray(x, dtype=np.float64) for x in pairs["feat_u"]])
+        b = np.stack([np.asarray(x, dtype=np.float64) for x in pairs["feat_v"]])
+        denom = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        cos = np.where(denom > 0, np.einsum("ij,ij->i", a, b) / np.maximum(denom, 1e-300), 0.0)
+        return pairs.loc[cos >= threshold, ["u", "v"]]
 
-    vec_df = ds.select_columns([id_col, vec_col]).to_pandas()
-    vmap = {r[id_col]: np.asarray(r[vec_col], dtype=np.float64) for _, r in vec_df.iterrows()}
-    vref = ray.put(vmap)
-
-    class VerifyCosine:
-        def __init__(self, ref, thr):
-            self.vecs = ray.get(ref)
-            self.thr = thr
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            keep_u, keep_v = [], []
-            for u, v in zip(df["u"], df["v"]):
-                a, b = self.vecs.get(u), self.vecs.get(v)
-                if a is None or b is None:
-                    continue
-                denom = np.linalg.norm(a) * np.linalg.norm(b)
-                if denom > 0 and float(a @ b / denom) >= self.thr:
-                    keep_u.append(u)
-                    keep_v.append(v)
-            return pd.DataFrame({"u": keep_u, "v": keep_v})
-
-    verified = cand.map_batches(VerifyCosine, fn_constructor_args=(vref, threshold),
-                                batch_format="pandas", concurrency=(1, 4))
-    comps = connected_components(verified)
-    return comps.map_batches(
-        lambda df: pd.DataFrame({"doc_id": df["mention_id"], "canonical_id": df["component"]}),
-        batch_format="pandas",
-    )
+    verified = _candidate_pairs_verified(band_rows, "vec", verify, max_bucket=500)
+    return _finalize_components(verified)

@@ -86,3 +86,83 @@ def test_embedding_cosine_dedup(ray_session):
     groups = out.groupby("canonical_id")["doc_id"].apply(set).tolist()
     assert any({0, 100} <= g for g in groups)
     assert all(len(g) == 2 for g in groups)  # nothing else merged
+
+
+def test_near_dup_family_planted_30pct_corpus(ray_session):
+    """Web-scale shape: ~30% of the corpus is duplicated, so the candidate
+    set is O(corpus) — far beyond any broadcast budget. All three text
+    near-dup operators must recover exactly the planted components."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i}" for i in range(4000)]
+    n_base = 700
+    rows = []
+    expect = {}  # doc_id -> canonical
+    for i in range(n_base):
+        # salt every doc with 2 unique tokens so no accidental near-dups
+        text = f"u{i}a " + " ".join(rng.choice(vocab, size=50)) + f" u{i}b"
+        rows.append({"doc_id": i, "text": text})
+        if i < 300:  # ~30% duplicated: exact copy with a higher id
+            rows.append({"doc_id": 10_000 + i, "text": text})
+            expect[10_000 + i] = i
+            expect[i] = i
+    ds = rd.from_pandas(pd.DataFrame(rows))
+
+    from hgcn_name_disambiguation_ray.stages.dedup import (
+        minhash_lsh_dedup,
+        ngram_jaccard_dedup,
+        simhash_dedup,
+    )
+
+    for op, kw in [
+        (minhash_lsh_dedup, {"threshold": 0.9}),
+        (ngram_jaccard_dedup, {"threshold": 0.9}),
+        (simhash_dedup, {"max_hamming": 1}),
+    ]:
+        out = op(ds, **kw).to_pandas()
+        got = dict(zip(out["doc_id"], out["canonical_id"]))
+        assert got == expect, op.__name__
+
+
+def test_dedup_no_driver_dataset_materialization(ray_session):
+    """Regression guard for the round-1 scale-killer: no near-dup operator
+    may call Dataset.to_pandas()/take_all()/iter_rows() on the driver while
+    building or executing — candidate pairs, signatures and vectors stay
+    distributed end to end."""
+    import ray.data as rd
+    from ray.data import Dataset
+
+    import hgcn_name_disambiguation_ray.stages.dedup as dedup
+    import inspect
+
+    src = inspect.getsource(dedup)
+    assert "iterrows" not in src and "ray.put" not in src
+
+    rng = np.random.default_rng(4)
+    vocab = [f"w{i}" for i in range(800)]
+    rows = [{"doc_id": i, "text": " ".join(rng.choice(vocab, size=40))} for i in range(60)]
+    rows += [{"doc_id": 1000 + i, "text": rows[i]["text"]} for i in range(10)]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    vec_rows = [{"vec_id": i, "embedding": rng.normal(size=8).tolist()} for i in range(30)]
+    vec_rows += [{"vec_id": 1000, "embedding": vec_rows[0]["embedding"]}]
+    vds = rd.from_pandas(pd.DataFrame(vec_rows))
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side Dataset materialization in dedup op")
+
+    orig = {n: getattr(Dataset, n) for n in ("to_pandas", "take_all", "iter_rows")}
+    for n in orig:
+        setattr(Dataset, n, boom)
+    try:
+        outs = [
+            dedup.minhash_lsh_dedup(ds, threshold=0.9).materialize(),
+            dedup.ngram_jaccard_dedup(ds, threshold=0.9).materialize(),
+            dedup.simhash_dedup(ds, max_hamming=1).materialize(),
+            dedup.embedding_cosine_dedup(vds, threshold=0.999).materialize(),
+        ]
+    finally:
+        for n, f in orig.items():
+            setattr(Dataset, n, f)
+    for out in outs:
+        assert out.count() >= 2  # the planted duplicates were found
