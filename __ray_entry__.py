@@ -297,22 +297,70 @@ def _dedup_frame(ds) -> pd.DataFrame:
     if df.empty or "doc_id" not in df.columns:
         return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
                              "canonical_id": pd.Series(dtype=np.int64)})
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    df["canonical_id"] = df["canonical_id"].astype(np.int64)
     return df
+
+
+# planted-duplicate corpus: every doc salted with 16 doc-unique tokens
+# (suppressing accidental cross-doc near-duplicity: the real corpus holds
+# pairs at 3-gram Jaccard ~0.99, which would sit inside minhash-estimator
+# noise of any threshold) and cloned once under doc_id + _DUP_OFFSET, so
+# the exact near-dup components are {id, id+offset} — a trivially exact
+# SQL oracle for the probabilistic operators.
+_DUP_OFFSET = 10_000_000
+
+
+def _salted_planted_docs(sf_dir: str):
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def body(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        salted = [
+            " ".join(f"p{d}s{j}" for j in range(8))
+            + " " + (x or "") + " "
+            + " ".join(f"q{d}s{j}" for j in range(8))
+            for d, x in zip(ids, texts)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [int(d) for d in ids] + [int(d) + _DUP_OFFSET for d in ids],
+                    type=pa.int64(),
+                ),
+                "text": pa.array(salted + salted, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+_PLANTED_DEDUP_SQL = (
+    "SELECT doc_id, doc_id AS canonical_id FROM documents "
+    f"UNION ALL SELECT doc_id + {_DUP_OFFSET} AS doc_id, doc_id AS canonical_id "
+    "FROM documents"
+)
 
 
 def _q_minhash_dedup(sf_dir: str):
     from hgcn_name_disambiguation_ray.stages.dedup import minhash_lsh_dedup
 
-    return _dedup_frame(minhash_lsh_dedup(_docs(sf_dir, columns=["doc_id", "text"]), threshold=0.9))
+    return _dedup_frame(minhash_lsh_dedup(_salted_planted_docs(sf_dir), threshold=0.9))
 
 
 def _q_simhash_dedup(sf_dir: str):
     from hgcn_name_disambiguation_ray.stages.dedup import simhash_dedup
 
-    return _dedup_frame(simhash_dedup(_docs(sf_dir, columns=["doc_id", "text"])))
+    # max_hamming=2: planted clones sit at distance 0; the nearest
+    # accidental (real near-dup) pair on the salted corpus measures 3
+    return _dedup_frame(simhash_dedup(_salted_planted_docs(sf_dir), max_hamming=2))
 
 
 def _q_ngram_dedup(sf_dir: str):
+    """Real (unsalted) corpus: the documents table holds genuine near-dup
+    pairs, and the exact-Jaccard verify is SQL-expressible, so this one is
+    oracle-checked end to end (LSH candidates -> exact verify -> closure)."""
     from hgcn_name_disambiguation_ray.stages.dedup import ngram_jaccard_dedup
 
     return _dedup_frame(ngram_jaccard_dedup(_docs(sf_dir, columns=["doc_id", "text"]), threshold=0.9))
@@ -324,7 +372,18 @@ def _q_embedding_neardup(sf_dir: str):
     from hgcn_name_disambiguation_ray.stages.dedup import embedding_cosine_dedup
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-    return _dedup_frame(embedding_cosine_dedup(ds, threshold=0.98))
+
+    def plant(t: pa.Table) -> pa.Table:
+        clone = pa.table(
+            {
+                "vec_id": pa.compute.add(t["vec_id"], _DUP_OFFSET),
+                "embedding": t["embedding"],
+            }
+        )
+        return pa.concat_tables([t, clone])
+
+    return _dedup_frame(embedding_cosine_dedup(ds.map_batches(plant, batch_format="pyarrow"),
+                                               threshold=0.98))
 
 
 def _q_language_id(sf_dir: str):
@@ -954,6 +1013,60 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT e FROM q)) * 1e6) AS BIGINT) AS score_u FROM embeddings WHERE vec_id != 0 "
             "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT e FROM q)) DESC, "
             "vec_id LIMIT 10"
+        ),
+        "minhash_dedup": _PLANTED_DEDUP_SQL,
+        "simhash_dedup": _PLANTED_DEDUP_SQL,
+        "embedding_neardup": (
+            "SELECT vec_id AS doc_id, vec_id AS canonical_id FROM embeddings "
+            f"UNION ALL SELECT vec_id + {_DUP_OFFSET} AS doc_id, "
+            "vec_id AS canonical_id FROM embeddings"
+        ),
+        "ngram_dedup": (
+            # exact 3-gram Jaccard >= 0.9 over all pairs + recursive
+            # transitive closure; canonical = min doc_id of the component
+            "WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split("
+            "regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), "
+            "x -> length(x) > 0) AS tk FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN "
+            "list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || "
+            "tk[i+1] || ' ' || tk[i+2]) ELSE [array_to_string(tk, ' ')] END "
+            "AS shingles FROM toks WHERE len(tk) > 0), "
+            "du AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM du GROUP BY 1), "
+            "pairs AS (SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS inter "
+            "FROM du a JOIN du b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "edges AS (SELECT u, v FROM pairs "
+            "JOIN sizes su ON pairs.u = su.doc_id "
+            "JOIN sizes sv ON pairs.v = sv.doc_id "
+            "WHERE CAST(inter AS DOUBLE) / (su.n + sv.n - inter) >= 0.9), "
+            "sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges), "
+            "nodes AS (SELECT DISTINCT u AS nd FROM sym), "
+            "r(nd, m) AS (SELECT nd, nd FROM nodes "
+            "UNION SELECT r.nd, sym.v FROM r JOIN sym ON r.m = sym.u) "
+            "SELECT nd AS doc_id, min(m) AS canonical_id FROM r GROUP BY 1"
+        ),
+        "language_id": (
+            # mirrors LanguageId: CJK script wins; else the alphabetically
+            # first language with the max distinct-stopword overlap; all-zero
+            # overlap -> 'unknown'
+            "WITH w AS (SELECT doc_id, text, list_filter(string_split("
+            "regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), "
+            "x -> length(x) > 0) AS words FROM documents), "
+            "sc AS (SELECT doc_id, text, "
+            "len(list_intersect(words, ['der','die','das','und','ist','nicht',"
+            "'mit','ein','zu','von'])) AS s_de, "
+            "len(list_intersect(words, ['the','and','of','to','in','is','that',"
+            "'for','with','on'])) AS s_en, "
+            "len(list_intersect(words, ['el','la','los','y','es','no','con',"
+            "'para','que','una'])) AS s_es, "
+            "len(list_intersect(words, ['le','la','les','et','est','pas','pour',"
+            "'dans','que','une'])) AS s_fr FROM w) "
+            "SELECT doc_id, CASE "
+            "WHEN regexp_matches(text, '[一-鿿]') THEN 'zh' "
+            "WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown' "
+            "WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de' "
+            "WHEN s_en >= s_es AND s_en >= s_fr THEN 'en' "
+            "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang FROM sc"
         ),
         "quality": (
             "SELECT doc_id, length(text) AS n_chars2, "
