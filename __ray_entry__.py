@@ -193,23 +193,38 @@ def _q_blocking_keys(sf_dir: str):
 
 
 def _q_shared_token_pairs(sf_dir: str):
-    """A2 analogue: within-source doc pairs sharing >= 2 distinct tokens."""
+    """A2 analogue: within-source doc pairs sharing >= 2 distinct tokens.
+
+    `source` is a skewed low-cardinality key; a plain groupby would put
+    one source's full rows on one worker, so this runs through the
+    bucketed pattern (complete source groups co-locate per bucket, the
+    pair expansion is a vectorized pandas self-merge)."""
+    from hgcn_name_disambiguation_ray.stages.groupagg import bucketed_group_apply
+
     ds = _docs(sf_dir, columns=["doc_id", "text", "source"])
 
-    def per_source(g: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for did, txt in zip(g["doc_id"], g["text"]):
-            for tok in set((txt or "").split()):
-                if len(tok) > 1:
-                    rows.append((did, tok))
-        e = pd.DataFrame(rows, columns=["doc_id", "tok"])
-        m = e.merge(e, on="tok")
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_i": pd.Series(dtype=np.int64), "doc_j": pd.Series(dtype=np.int64),
+             "n_shared": pd.Series(dtype=np.int64)}
+        )
+        e = df[["doc_id", "source"]].copy()
+        e["tok"] = df["text"].str.split()
+        e = e.explode("tok")
+        e = e[e["tok"].str.len() > 1].drop_duplicates()
+        m = e.merge(e, on=["source", "tok"])
         m = m[m["doc_id_x"] < m["doc_id_y"]]
         cnt = m.groupby(["doc_id_x", "doc_id_y"]).size().reset_index(name="n_shared")
         cnt = cnt[cnt["n_shared"] >= 2]
-        return cnt.rename(columns={"doc_id_x": "doc_i", "doc_id_y": "doc_j"})
+        if cnt.empty:
+            return empty
+        return pd.DataFrame(
+            {"doc_i": cnt["doc_id_x"].astype(np.int64),
+             "doc_j": cnt["doc_id_y"].astype(np.int64),
+             "n_shared": cnt["n_shared"].astype(np.int64)}
+        )
 
-    return ds.groupby("source").map_groups(per_source, batch_format="pandas")
+    return bucketed_group_apply(ds, ["source"], per_bucket, n_buckets=16)
 
 
 def _q_eval_counts(sf_dir: str):
@@ -268,15 +283,26 @@ def _q_top_orders(sf_dir: str):
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
 
 
+def _fetch_query_vector(sf_dir: str, vec_id: int) -> np.ndarray:
+    """Single-row point lookup straight off the parquet file (predicate
+    pushdown prunes row groups) — not a full Dataset scan."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", vec_id)],
+    )
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+
+
 def _q_topk_cosine(sf_dir: str):
     import ray.data as rd
 
     from hgcn_name_disambiguation_ray.stages.similarity import brute_force_topk
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-    q0 = np.asarray(
-        ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"], dtype=np.float64
-    )
+    q0 = _fetch_query_vector(sf_dir, 0)
     top = brute_force_topk(ds, q0[None, :], k=11)  # 11: drop the self hit
     df = top.to_pandas()
     df = df[df["vec_id"] != 0].nlargest(10, "score")
@@ -426,10 +452,7 @@ def _q_ivf_topk(sf_dir: str):
     from hgcn_name_disambiguation_ray.stages.similarity import ivf_topk
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-    q0 = np.asarray(
-        ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"], dtype=np.float64
-    )
-    return ivf_topk(ds, q0[None, :], k=10)
+    return ivf_topk(ds, _fetch_query_vector(sf_dir, 0)[None, :], k=10)
 
 
 def _q_cust_nation_join(sf_dir: str):
@@ -539,20 +562,26 @@ def _q_sessionize(sf_dir: str):
     inactivity gap (groupby user -> sorted per-group scan)."""
     import ray.data as rd
 
+    from hgcn_name_disambiguation_ray.stages.groupagg import bucketed_group_apply
+
     ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values().to_numpy()
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # many complete user groups per bucket; one vectorized pass: a
+        # session break = same-user gap > 30 min after a (user, ts) sort
+        df = df.sort_values(["user_id", "ts"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy()
         gaps_us = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int((gaps_us > 1800 * 1_000_000).sum()) + 1],
-                "n_events": [len(ts)],
-            }
-        )
+        brk = np.r_[False, (uid[1:] == uid[:-1]) & (gaps_us > 1800 * 1_000_000)]
+        out = pd.DataFrame({"user_id": uid, "brk": brk}).groupby(
+            "user_id", as_index=False
+        ).agg(n_sessions=("brk", "sum"), n_events=("brk", "size"))
+        out["n_sessions"] = out["n_sessions"].astype(np.int64) + 1
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return bucketed_group_apply(ev, ["user_id"], per_bucket, n_buckets=32)
 
 
 def _q_multimodal_features(sf_dir: str):

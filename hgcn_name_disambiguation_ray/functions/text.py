@@ -94,13 +94,19 @@ def tokenize_batch(batch: pa.Table, text_col: str = "title") -> pa.Table:
     return batch.append_column("tokens_stemmed", tokens_stemmed)
 
 
-def normalized_name_key(col: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """Blocking key from an entity surface name (M1 semantics,
-    reference `openAlex_to_HGCN.py:46-91`): lowercase, split on whitespace
-    (empty parts from leading/trailing/repeated whitespace dropped),
-    key = "first last" (single-token names key on that token alone)."""
-    low = pc.fill_null(pc.utf8_lower(col), "")
-    parts = pc.split_pattern_regex(low, pattern=r"\s+")
+def split_ws_flat(
+    col: pa.Array | pa.ChunkedArray, lower: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace-run split with empties dropped — Python str.split()
+    semantics over a whole column: returns (flat object array of tokens,
+    row offsets of len n_rows+1). Nulls split to zero tokens. The split
+    runs as an Arrow kernel; the empty-drop is one numpy mask."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    if lower:
+        col = pc.utf8_lower(col)
+    parts = pc.split_pattern_regex(col, pattern=r"\s+")
     if isinstance(parts, pa.ChunkedArray):
         parts = parts.combine_chunks()
     offsets = parts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -109,8 +115,16 @@ def normalized_name_key(col: pa.Array | pa.ChunkedArray) -> pa.Array:
     keep = lens > 0
     cum = np.zeros(len(flat) + 1, dtype=np.int64)
     np.cumsum(keep, out=cum[1:])
-    kept = flat[keep]
-    starts, ends = cum[offsets[:-1]], cum[offsets[1:]]
+    return flat[keep], cum[offsets]
+
+
+def normalized_name_key(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Blocking key from an entity surface name (M1 semantics,
+    reference `openAlex_to_HGCN.py:46-91`): lowercase, split on whitespace
+    (empty parts from leading/trailing/repeated whitespace dropped),
+    key = "first last" (single-token names key on that token alone)."""
+    kept, offsets = split_ws_flat(col, lower=True)
+    starts, ends = offsets[:-1], offsets[1:]
     n_rows = len(starts)
     first = np.empty(n_rows, dtype=object)
     last = np.empty(n_rows, dtype=object)

@@ -87,7 +87,9 @@ def run_linkage(
     else:
         mentions = extract_mentions(pages, cfg).materialize()
 
-    counts = block_counts(mentions)
+    # only hot keys (n > salt_cap) leave the Dataset — the distinct-key
+    # set is unbounded at web scale and must never reach the driver whole
+    counts = block_counts(mentions, min_count=cfg.salt_cap)
     salt_map = make_salt_map(counts, cfg.salt_cap)
     salt_ref = ray.put(salt_map)
 

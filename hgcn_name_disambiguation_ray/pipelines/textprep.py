@@ -9,11 +9,14 @@ Each is a stateless or actor-pool `map_batches` stage over Arrow batches:
   * language_id     — character n-gram + stopword heuristic over built-in
                       profiles (en/de/fr/es + zh by script); no models
   * fingerprint     — winnowing rolling-hash document fingerprint
+
+Every stage is fully vectorized: splitting / regex counting run as Arrow
+kernels over whole columns, per-document statistics come from prefix sums
+and segmented reductions over the flattened token arrays (the same
+pattern `functions/text.py` uses) — no `for row in batch` loops.
 """
 
 from __future__ import annotations
-
-import re
 
 import numpy as np
 import pandas as pd
@@ -22,9 +25,10 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 from hgcn_name_disambiguation_ray.functions.hashing import stable_hash64_array
+from hgcn_name_disambiguation_ray.functions.text import split_ws_flat
 
 # BPE-ish subword splitter: letter runs, digit runs, single punctuation
-_BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
+_BPE_PATTERN = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"
 
 _STOPWORDS = {
     "en": {"the", "and", "of", "to", "in", "is", "that", "for", "with", "on"},
@@ -33,27 +37,44 @@ _STOPWORDS = {
     "es": {"el", "la", "los", "y", "es", "no", "con", "para", "que", "una"},
 }
 
+_CJK_PATTERN = r"[一-鿿]"
+
+
+def _fill(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.fill_null(col, "")
+
+
+def _seg_sum(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row sums of a flat value array given row offsets (prefix-sum)."""
+    cum = np.zeros(len(values) + 1, dtype=np.int64)
+    np.cumsum(values, out=cum[1:])
+    return cum[offsets[1:]] - cum[offsets[:-1]]
+
+
+def _token_lens(flat: np.ndarray) -> np.ndarray:
+    if len(flat) == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.frompyfunc(len, 1, 1)(flat).astype(np.int64)
+
 
 def token_count(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
     """(id, n_ws_tokens, n_tokens, n_subwords): whitespace count, the
     engine's len>1 token count, and BPE-ish subword count."""
 
     def body(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        n_ws = np.zeros(len(texts), dtype=np.int64)
-        n_tok = np.zeros(len(texts), dtype=np.int64)
-        n_sub = np.zeros(len(texts), dtype=np.int64)
-        for i, txt in enumerate(texts):
-            parts = (txt or "").split()
-            n_ws[i] = len(parts)
-            n_tok[i] = sum(1 for p in parts if len(p) > 1)
-            n_sub[i] = len(_BPE_RE.findall(txt or ""))
+        flat, offsets = split_ws_flat(t[text_col])
+        lens = _token_lens(flat)
+        n_ws = _seg_sum(np.ones(len(flat), dtype=np.int64), offsets)
+        n_tok = _seg_sum((lens > 1).astype(np.int64), offsets)
+        n_sub = pc.count_substring_regex(_fill(t[text_col]), pattern=_BPE_PATTERN)
         return pa.table(
             {
                 id_col: t[id_col],
                 "n_ws_tokens": pa.array(n_ws),
                 "n_tokens": pa.array(n_tok),
-                "n_subwords": pa.array(n_sub),
+                "n_subwords": n_sub.cast(pa.int64()),
             }
         )
 
@@ -65,68 +86,96 @@ def quality_score(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -
     stop_ratio, quality) — all ratios in [0,1], quality a simple composite."""
 
     def body(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        n = len(texts)
-        out = {
-            "n_chars2": np.zeros(n, np.int64),
-            "n_words": np.zeros(n, np.int64),
-            "mean_word_len": np.zeros(n, np.float64),
-            "punct_ratio": np.zeros(n, np.float64),
-            "digit_ratio": np.zeros(n, np.float64),
-            "stop_ratio": np.zeros(n, np.float64),
-            "quality": np.zeros(n, np.float64),
-        }
+        col = _fill(t[text_col])
+        flat, offsets = split_ws_flat(col)
+        lens = _token_lens(flat)
+        n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_words = _seg_sum(np.ones(len(flat), dtype=np.int64), offsets)
+        sum_lens = _seg_sum(lens, offsets)
+        with np.errstate(invalid="ignore"):
+            mean_word_len = np.where(n_words > 0, sum_lens / np.maximum(n_words, 1), 0.0)
+
+        n_punct = pc.count_substring_regex(
+            col, pattern=r"[^\p{L}\p{N}\s]"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_digit = pc.count_substring_regex(
+            col, pattern=r"\p{Nd}"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        safe_chars = np.maximum(n_chars, 1)
+        punct_ratio = np.where(n_chars > 0, n_punct / safe_chars, 0.0)
+        digit_ratio = np.where(n_chars > 0, n_digit / safe_chars, 0.0)
+
         stops = _STOPWORDS["en"]
-        for i, txt in enumerate(texts):
-            s = txt or ""
-            words = s.split()
-            n_chars = len(s)
-            out["n_chars2"][i] = n_chars
-            out["n_words"][i] = len(words)
-            out["mean_word_len"][i] = (sum(map(len, words)) / len(words)) if words else 0.0
-            if n_chars:
-                out["punct_ratio"][i] = sum(not c.isalnum() and not c.isspace() for c in s) / n_chars
-                out["digit_ratio"][i] = sum(c.isdigit() for c in s) / n_chars
-            if words:
-                out["stop_ratio"][i] = sum(w.lower() in stops for w in words) / len(words)
-            length_ok = 1.0 if 20 <= len(words) <= 10000 else 0.3
-            wl = out["mean_word_len"][i]
-            wordlen_ok = 1.0 if 3.0 <= wl <= 12.0 else 0.3
-            out["quality"][i] = (
-                0.4 * length_ok
-                + 0.3 * wordlen_ok
-                + 0.2 * (1.0 - min(1.0, out["punct_ratio"][i] * 4))
-                + 0.1 * (1.0 - min(1.0, out["digit_ratio"][i] * 4))
-            )
-        cols = {id_col: t[id_col]}
-        cols.update({k2: pa.array(v) for k2, v in out.items()})
-        return pa.table(cols)
+        if len(flat):
+            low = np.char.lower(flat.astype(str))
+            is_stop = np.isin(low, sorted(stops)).astype(np.int64)
+            n_stop = _seg_sum(is_stop, offsets)
+        else:
+            n_stop = np.zeros(len(n_words), dtype=np.int64)
+        stop_ratio = np.where(n_words > 0, n_stop / np.maximum(n_words, 1), 0.0)
+
+        length_ok = np.where((n_words >= 20) & (n_words <= 10000), 1.0, 0.3)
+        wordlen_ok = np.where((mean_word_len >= 3.0) & (mean_word_len <= 12.0), 1.0, 0.3)
+        quality = (
+            0.4 * length_ok
+            + 0.3 * wordlen_ok
+            + 0.2 * (1.0 - np.minimum(1.0, punct_ratio * 4))
+            + 0.1 * (1.0 - np.minimum(1.0, digit_ratio * 4))
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_chars2": pa.array(n_chars),
+                "n_words": pa.array(n_words),
+                "mean_word_len": pa.array(mean_word_len),
+                "punct_ratio": pa.array(punct_ratio),
+                "digit_ratio": pa.array(digit_ratio),
+                "stop_ratio": pa.array(stop_ratio),
+                "quality": pa.array(quality),
+            }
+        )
 
     return ds.map_batches(body, batch_format="pyarrow")
 
 
 class LanguageId:
-    """Actor-pool language-ID stage: profiles compiled once per actor."""
+    """Actor-pool language-ID stage: profiles compiled once per actor.
+
+    Vectorized: CJK detection is one Arrow regex count; stopword overlap
+    is computed over the flattened distinct (doc, word) pairs with one
+    np.isin + segmented sum per language profile."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
         self.id_col = id_col
-        self.stops = {lang: ws for lang, ws in _STOPWORDS.items()}
-        self.cjk = re.compile(r"[一-鿿]")
+        # alphabetical order — ties resolve to the first maximal language
+        self.langs = sorted(_STOPWORDS)
+        self.stop_lists = [np.array(sorted(_STOPWORDS[lg])) for lg in self.langs]
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t[self.text_col].to_pylist()
-        preds = []
-        for txt in texts:
-            s = (txt or "").lower()
-            if self.cjk.search(s):
-                preds.append("zh")
-                continue
-            words = set(s.split())
-            scores = {lang: len(words & sw) for lang, sw in self.stops.items()}
-            best = max(sorted(scores), key=lambda k2: scores[k2])
-            preds.append(best if scores[best] > 0 else "unknown")
-        return pa.table({self.id_col: t[self.id_col], "pred_lang": pa.array(preds, type=pa.string())})
+        n = t.num_rows
+        col = _fill(t[self.text_col])
+        cjk = pc.count_substring_regex(col, pattern=_CJK_PATTERN).to_numpy(
+            zero_copy_only=False
+        ) > 0
+        flat, offsets = split_ws_flat(col, lower=True)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+        if len(flat):
+            uniq = pd.DataFrame({"d": doc_idx, "w": flat.astype(str)}).drop_duplicates()
+            ud, uw = uniq["d"].to_numpy(), uniq["w"].to_numpy()
+        else:
+            ud, uw = doc_idx, flat
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for j, sw in enumerate(self.stop_lists):
+            hit = np.isin(uw, sw)
+            scores[:, j] = np.bincount(ud[hit], minlength=n)
+        best = scores.argmax(axis=1)            # first max = alphabetical min
+        preds = np.asarray(self.langs, dtype=object)[best]
+        preds[scores.max(axis=1) == 0] = "unknown"
+        preds[cjk] = "zh"
+        return pa.table(
+            {self.id_col: t[self.id_col], "pred_lang": pa.array(preds, type=pa.string())}
+        )
 
 
 def language_id(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
@@ -141,26 +190,55 @@ def fingerprint(
     window: int = 8,
 ) -> Dataset:
     """Winnowing fingerprint: token rolling hashes, min per sliding window,
-    XOR-folded to one stable uint64 per document."""
+    XOR-folded over the distinct selected values to one uint64 per doc.
+
+    Segmented implementation: one global sliding-window-min over the flat
+    hash array (windows crossing doc boundaries masked out), short docs
+    (len <= window) reduced whole, then a lexsort dedup + XOR reduceat."""
+    MIX = np.uint64(0x9E3779B97F4A7C15)
 
     def body(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        fps = np.zeros(len(texts), dtype=np.uint64)
-        for i, txt in enumerate(texts):
-            toks = (txt or "").lower().split()
-            if not toks:
-                continue
-            h = stable_hash64_array(np.asarray(toks, dtype=object))
-            if len(h) <= window:
-                sel = np.array([h.min()], dtype=np.uint64)
-            else:
-                view = np.lib.stride_tricks.sliding_window_view(h, window)
-                sel = view.min(axis=1)
-            fp = np.uint64(0)
+        n = t.num_rows
+        flat, offsets = split_ws_flat(t[text_col], lower=True)
+        h = stable_hash64_array(flat)
+        L = np.diff(offsets)
+        fps = np.zeros(n, dtype=np.uint64)
+
+        sel_vals: list[np.ndarray] = []
+        sel_docs: list[np.ndarray] = []
+        big = L > window
+        if big.any() and len(h) >= window:
+            wmins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+            cnt = (L - window + 1)[big]
+            base = np.repeat(offsets[:-1][big], cnt)
+            local = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(cnt)[:-1]]).astype(np.int64), cnt
+            )
+            sel_vals.append(wmins[base + local])
+            sel_docs.append(np.repeat(np.flatnonzero(big), cnt))
+        small = (L > 0) & (L <= window)
+        if small.any():
+            # per-doc min for ALL nonempty docs first: consecutive nonempty
+            # starts are each other's end offsets, so reduceat segments are
+            # exact doc extents (a reduceat over only the small starts would
+            # bleed into interleaved big docs)
+            nonempty = L > 0
+            allmins = np.zeros(n, dtype=np.uint64)
+            allmins[nonempty] = np.minimum.reduceat(h, offsets[:-1][nonempty])
+            sel_vals.append(allmins[small])
+            sel_docs.append(np.flatnonzero(small))
+        if sel_vals:
+            vals = np.concatenate(sel_vals)
+            docs = np.concatenate(sel_docs)
+            order = np.lexsort((vals, docs))
+            sv, sd = vals[order], docs[order]
+            new = np.r_[True, (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])]
+            uv, ud = sv[new], sd[new]
             with np.errstate(over="ignore"):
-                for v in np.unique(sel):
-                    fp ^= v * np.uint64(0x9E3779B97F4A7C15)
-            fps[i] = fp
+                mixed = uv * MIX
+            starts = np.flatnonzero(np.r_[True, ud[1:] != ud[:-1]])
+            folded = np.bitwise_xor.reduceat(mixed, starts)
+            fps[ud[starts]] = folded
         return pa.table({id_col: t[id_col], "fingerprint": pa.array(fps, type=pa.uint64())})
 
     return ds.map_batches(body, batch_format="pyarrow")

@@ -51,18 +51,27 @@ def add_block_keys(ds: Dataset) -> Dataset:
     return ds.map_batches(_add, batch_format="pyarrow")
 
 
-def block_counts(ds: Dataset) -> pd.DataFrame:
-    """Per-key mention counts via partial aggregation (no row shuffle)."""
+def block_counts(ds: Dataset, min_count: int | None = None) -> pd.DataFrame:
+    """Per-key mention counts via partial aggregation (no row shuffle).
+
+    With `min_count`, only keys with n > min_count reach the driver. At
+    web scale the DISTINCT key set is itself huge (hundreds of millions of
+    entity names), so salt-map construction must pass min_count=salt_cap:
+    the driver then sees only the (few) hot keys, not every key."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         counts = batch.group_by("block_key").aggregate([("block_key", "count")])
         return counts.rename_columns(["block_key", "n"])
 
     partials = ds.select_columns(["block_key"]).map_batches(partial, batch_format="pyarrow")
     out = partials.groupby("block_key").aggregate(Sum("n", alias_name="n"))
-    return out.to_pandas()  # one row per distinct key: small by construction
+    if min_count is not None:
+        import pyarrow.compute as pc
+
+        out = out.map_batches(
+            lambda t: t.filter(pc.greater(t["n"], min_count)), batch_format="pyarrow"
+        )
+    return out.to_pandas()
 
 
 def make_salt_map(counts: pd.DataFrame, salt_cap: int) -> dict[str, int]:

@@ -105,27 +105,11 @@ def _grouped_arange(counts: np.ndarray) -> np.ndarray:
 
 
 def _token_hashes_flat(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
-    """Lowercased whitespace tokens -> (flat uint64 hashes, offsets).
+    """Lowercased whitespace tokens -> (flat uint64 hashes, offsets)."""
+    from hgcn_name_disambiguation_ray.functions.text import split_ws_flat
 
-    Mirrors Python's str.split() semantics (runs of whitespace, empties
-    dropped) with Arrow kernels + one hash pass over distinct tokens."""
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    low = pc.utf8_lower(pc.fill_null(texts, ""))
-    split = pc.split_pattern_regex(low, pattern=r"\s+")
-    if isinstance(split, pa.ChunkedArray):
-        split = split.combine_chunks()
-    offsets = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = np.asarray(split.values.to_pandas(), dtype=object)
-    lens = (
-        np.frompyfunc(len, 1, 1)(flat).astype(np.int64)
-        if len(flat)
-        else np.zeros(0, dtype=np.int64)
-    )
-    keep = lens > 0
-    cum = np.zeros(len(flat) + 1, dtype=np.int64)
-    np.cumsum(keep, out=cum[1:])
-    return stable_hash64_array(flat[keep]), cum[offsets]
+    flat, offsets = split_ws_flat(texts, lower=True)
+    return stable_hash64_array(flat), offsets
 
 
 def _shingle_hashes_flat(
