@@ -771,12 +771,15 @@ def _q_range_week_events(sf_dir: str):
 
 
 def _q_segment_orders(sf_dir: str):
-    """Big-big distributed hash join (orders |><| customer on custkey,
-    neither side broadcast) -> order count per market segment."""
+    """orders |><| customer on custkey -> order count per market segment.
+    Goes through auto_join: the size probe broadcasts the (small) customer
+    side instead of shuffling both; oversized right sides fall back to the
+    distributed hash join (which the dedup verify joins and test_groupagg
+    still exercise)."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    from hgcn_name_disambiguation_ray.stages.groupagg import hash_join
+    from hgcn_name_disambiguation_ray.stages.groupagg import auto_join
 
     orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
     cust = rd.read_parquet(
@@ -784,7 +787,7 @@ def _q_segment_orders(sf_dir: str):
     ).map_batches(
         lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]), batch_format="pyarrow"
     )
-    joined = hash_join(orders, cust, on=["o_custkey"], num_partitions=16)
+    joined = auto_join(orders, cust, on=["o_custkey"])
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by("c_mktsegment").aggregate([("c_mktsegment", "count")])

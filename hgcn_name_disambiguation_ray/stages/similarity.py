@@ -93,6 +93,164 @@ def _kmeans_lite(sample: np.ndarray, n_centroids: int, iters: int, seed: int) ->
     return centroids
 
 
+class IvfIndex:
+    """Disk-partitioned IVF index: build once, query many times, and a
+    probe only READS its nprobe partitions (parquet directories keyed by
+    nearest centroid) — scanned rows scale with nprobe/n_centroids, not
+    corpus size. The build is one assignment pass + one partitioned
+    write; at cluster scale the partition directories live in shared
+    object storage and queries are pure pruned reads."""
+
+    def __init__(self, index_dir: str, centroids: np.ndarray,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+        self.index_dir = index_dir
+        self.centroids = centroids  # L2-normalized (n_centroids, d)
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    # -- build ------------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        ds: Dataset,
+        index_dir: str,
+        n_centroids: int = 16,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        sample_rows: int = 2048,
+        seed: int = 13,
+        iters: int = 5,
+    ) -> "IvfIndex":
+        import os
+
+        frac = min(1.0, sample_rows / max(1, ds.count()))
+        sample_df = ds.random_sample(frac, seed=seed).select_columns([vec_col]).to_pandas()
+        sample = np.array(sample_df[vec_col].tolist(), dtype=np.float64)
+        cents = _normalize(_kmeans_lite(_normalize(sample), n_centroids, iters=iters, seed=seed))
+        cref = ray.put(cents)
+
+        class Assign:
+            def __init__(self, ref, vec_col):
+                self.cents = ray.get(ref)
+                self.vec_col = vec_col
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                if t.num_rows == 0:
+                    return t.append_column("centroid", pa.array([], type=pa.int32()))
+                m = _normalize(_as_matrix(t[self.vec_col]))
+                assign = (m @ self.cents.T).argmax(1).astype(np.int32)
+                return t.append_column("centroid", pa.array(assign))
+
+        os.makedirs(index_dir, exist_ok=True)
+        ds.map_batches(Assign, fn_constructor_args=(cref, vec_col),
+                       batch_format="pyarrow", concurrency=(1, 8)).write_parquet(
+            index_dir, partition_cols=["centroid"]
+        )
+        np.save(os.path.join(index_dir, "_centroids.npy"), cents)
+        return cls(index_dir, cents, vec_col, id_col)
+
+    @classmethod
+    def load(cls, index_dir: str, vec_col: str = "embedding", id_col: str = "vec_id") -> "IvfIndex":
+        import os
+
+        cents = np.load(os.path.join(index_dir, "_centroids.npy"))
+        return cls(index_dir, cents, vec_col, id_col)
+
+    # -- query ------------------------------------------------------------
+    def probed_partitions(self, queries: np.ndarray, nprobe: int) -> dict[int, np.ndarray]:
+        """{centroid id: array of query indices probing it}."""
+        q = _normalize(np.asarray(queries, dtype=np.float64))
+        probes = np.argsort(-(q @ self.centroids.T), axis=1)[:, :nprobe]
+        out: dict[int, list[int]] = {}
+        for qi in range(len(q)):
+            for c in probes[qi]:
+                out.setdefault(int(c), []).append(qi)
+        return {c: np.asarray(v, dtype=np.int64) for c, v in out.items()}
+
+    def scanned_rows(self, queries: np.ndarray, nprobe: int) -> tuple[int, int]:
+        """(rows a query pass reads, total indexed rows) — from parquet
+        metadata only; the bench evidence that probes prune I/O."""
+        import pyarrow.dataset as pads
+
+        per_part = self.probed_partitions(queries, nprobe)
+        scanned = total = 0
+        for c in range(len(self.centroids)):
+            path = f"{self.index_dir}/centroid={c}"
+            try:
+                n = sum(
+                    frag.metadata.num_rows if frag.metadata else frag.count_rows()
+                    for frag in pads.dataset(path).get_fragments()
+                )
+            except FileNotFoundError:
+                n = 0
+            total += n
+            if c in per_part:
+                scanned += n
+        return scanned, total
+
+    def query(self, queries: np.ndarray, k: int = 10, nprobe: int = 4) -> Dataset:
+        """(query_idx, vec_id, score, rank) over probed partitions only."""
+        import os
+
+        import ray.data as rd
+
+        q = _normalize(np.asarray(queries, dtype=np.float64))
+        per_part = self.probed_partitions(queries, nprobe)
+        vec_col, id_col = self.vec_col, self.id_col
+
+        def make_scorer(qsub: np.ndarray, qidx: np.ndarray):
+            # qsub is the (small) slice of the query matrix probing this
+            # partition — shipped once in the task closure, no actor pool
+            # (one min-1-actor pool per partition would deadlock small CPU
+            # budgets); the per-batch work is one matmul + local top-k
+            def score(t: pa.Table) -> pa.Table:
+                ids = np.asarray(t[id_col].to_pylist())
+                if len(ids) == 0:
+                    return pa.table({"query_idx": pa.array([], type=pa.int32()),
+                                     "vec_id": pa.array([], type=pa.int64()),
+                                     "score": pa.array([], type=pa.float64())})
+                m = _normalize(_as_matrix(t[vec_col]))
+                sims = qsub @ m.T
+                kk = min(k, sims.shape[1])
+                idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                qi = np.repeat(qidx.astype(np.int32), kk)
+                vi = ids[idx.reshape(-1)]
+                sc = np.take_along_axis(sims, idx, axis=1).reshape(-1)
+                return pa.table({"query_idx": pa.array(qi, type=pa.int32()),
+                                 "vec_id": pa.array(vi, type=pa.int64()),
+                                 "score": pa.array(sc, type=pa.float64())})
+
+            return score
+
+        parts = []
+        for c, qidx in sorted(per_part.items()):
+            path = f"{self.index_dir}/centroid={c}"
+            if not os.path.isdir(path):
+                continue  # centroid attracted no rows
+            part = rd.read_parquet(path, columns=[id_col, vec_col]).map_batches(
+                make_scorer(q[qidx], qidx), batch_format="pyarrow"
+            )
+            parts.append(part)
+        if not parts:
+            return rd.from_arrow(
+                pa.table({"query_idx": pa.array([], type=pa.int32()),
+                          "vec_id": pa.array([], type=pa.int64()),
+                          "score": pa.array([], type=pa.float64()),
+                          "rank": pa.array([], type=pa.int64())})
+            )
+        local = parts[0]
+        for p in parts[1:]:
+            local = local.union(p)
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+            g = g.reset_index(drop=True)
+            g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+            return g
+
+        return local.groupby("query_idx").map_groups(merge, batch_format="pandas")
+
+
 def ivf_topk(
     ds: Dataset,
     queries: np.ndarray,
@@ -103,58 +261,17 @@ def ivf_topk(
     id_col: str = "vec_id",
     sample_rows: int = 2048,
     seed: int = 13,
+    index_dir: str | None = None,
 ) -> Dataset:
-    """Approximate top-k: coarse IVF partitioning. Centroids are trained on
-    a deterministic sample; each batch only scores rows whose nearest
-    centroid is among a query's nprobe probes."""
-    frac = min(1.0, sample_rows / max(1, ds.count()))
-    sample_df = ds.random_sample(frac, seed=seed).select_columns([vec_col]).to_pandas()
-    sample = np.array(sample_df[vec_col].tolist(), dtype=np.float64)
-    cents = _normalize(_kmeans_lite(_normalize(sample), n_centroids, iters=5, seed=seed))
-    q = _normalize(np.asarray(queries, dtype=np.float64))
-    probes = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    cref = ray.put((cents, probes, q))
+    """Approximate top-k via a disk-partitioned IVF index (build + query).
+    Pass `index_dir` to keep the index for further queries; the default
+    builds under /tmp keyed by a deterministic name."""
+    if index_dir is None:
+        import tempfile
 
-    class ProbeTopK:
-        def __init__(self, ref, k, vec_col, id_col):
-            self.cents, self.probes, self.q = ray.get(ref)
-            self.k = k
-            self.vec_col = vec_col
-            self.id_col = id_col
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = np.asarray(t[self.id_col].to_pylist())
-            out = {"query_idx": [], "vec_id": [], "score": []}
-            if len(ids) == 0:
-                return pa.table({k2: pa.array(v) for k2, v in out.items()})
-            m = _normalize(_as_matrix(t[self.vec_col]))
-            assign = (m @ self.cents.T).argmax(1)  # nearest centroid per row
-            for qi in range(len(self.q)):
-                mask = np.isin(assign, self.probes[qi])
-                if not mask.any():
-                    continue
-                sims = m[mask] @ self.q[qi]
-                sub_ids = ids[mask]
-                kk = min(self.k, len(sims))
-                top = np.argpartition(-sims, kk - 1)[:kk]
-                out["query_idx"].extend([qi] * kk)
-                out["vec_id"].extend(sub_ids[top].tolist())
-                out["score"].extend(sims[top].tolist())
-            return pa.table(
-                {
-                    "query_idx": pa.array(out["query_idx"], type=pa.int32()),
-                    "vec_id": pa.array(out["vec_id"], type=pa.int64()),
-                    "score": pa.array(out["score"], type=pa.float64()),
-                }
-            )
-
-    local = ds.map_batches(ProbeTopK, fn_constructor_args=(cref, k, vec_col, id_col),
-                           batch_format="pyarrow", concurrency=(1, 8))
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return local.groupby("query_idx").map_groups(merge, batch_format="pandas")
+        index_dir = tempfile.mkdtemp(prefix="ivf_index_")
+    idx = IvfIndex.build(
+        ds, index_dir, n_centroids=n_centroids, vec_col=vec_col, id_col=id_col,
+        sample_rows=sample_rows, seed=seed,
+    )
+    return idx.query(queries, k=k, nprobe=nprobe)

@@ -182,3 +182,27 @@ def test_asof_join_duplicate_on_ties_resolve_to_max_rcols():
             right_cols=["rv"],
         ).to_pandas()
         assert out["rv"].tolist() == [9.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_auto_join_both_paths_match_pandas():
+    """The size probe must produce identical results on the broadcast path
+    (huge budget) and the shuffle fallback (zero budget)."""
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.groupagg import auto_join
+
+    rng = np.random.default_rng(9)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 2000), "lv": np.arange(2000)})
+    right = pd.DataFrame({"k": np.arange(40), "rv": np.arange(40) * 10})
+    want = left.merge(right, on="k").sort_values(["lv"]).reset_index(drop=True)
+    for budget in (1 << 30, 0):
+        got = (
+            auto_join(rd.from_pandas(left), rd.from_pandas(right), on=["k"],
+                      broadcast_max_bytes=budget)
+            .to_pandas().sort_values(["lv"]).reset_index(drop=True)[want.columns]
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"k": np.int64, "lv": np.int64, "rv": np.int64}),
+            want.astype({"k": np.int64, "lv": np.int64, "rv": np.int64}),
+        )

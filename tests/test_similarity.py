@@ -55,3 +55,24 @@ def test_ivf_recall_reasonable(emb_ds):
     recall = len(set(out["vec_id"]) & set(want_ids)) / 10
     assert out["vec_id"].iloc[0] == 42  # self always found (its centroid is probed)
     assert recall >= 0.5, recall
+
+
+def test_ivf_index_prunes_io(emb_ds, tmp_path):
+    """Probes must READ only their nprobe partitions: scanned rows from
+    parquet metadata scale with nprobe/n_centroids, not corpus size."""
+    from hgcn_name_disambiguation_ray.stages.similarity import IvfIndex
+
+    ds, vecs = emb_ds
+    idx = IvfIndex.build(ds, str(tmp_path / "ivf"), n_centroids=8, sample_rows=300)
+    scanned, total = idx.scanned_rows(vecs[[5]], nprobe=2)
+    assert total == 300
+    assert 0 < scanned < total  # pruned: strictly fewer rows than a scan
+    s_all, _ = idx.scanned_rows(vecs[[5]], nprobe=8)
+    assert scanned < s_all == total  # probing everything reads everything
+
+    # reload from disk and query — results identical to build-and-query
+    idx2 = IvfIndex.load(str(tmp_path / "ivf"))
+    out1 = idx.query(vecs[[5]], k=5, nprobe=2).to_pandas().sort_values("rank")
+    out2 = idx2.query(vecs[[5]], k=5, nprobe=2).to_pandas().sort_values("rank")
+    assert out1["vec_id"].tolist() == out2["vec_id"].tolist()
+    assert out1["vec_id"].iloc[0] == 5
