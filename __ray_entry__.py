@@ -894,6 +894,33 @@ def _q_majority_assignment(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_linkage_arnetminer(sf_dir: str):
+    """Real-data conformance: the reference's labeled Arnetminer corpus
+    (110 names, ~9k publications) through the untouched production
+    pipeline; returns per-name pairwise P/R/F1 plus the __macro__ row.
+    sf_dir is unused — the input is the reference's own committed corpus."""
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.config import LinkageConfig
+    from hgcn_name_disambiguation_ray.pipelines.linkage import (
+        clusters_with_truth,
+        run_linkage,
+    )
+    from hgcn_name_disambiguation_ray.sources.arnetminer import arnetminer_tables
+    from hgcn_name_disambiguation_ray.stages.evaluate import pairwise_scores
+
+    raw = "/root/reference/raw-data"
+    if not os.path.isdir(raw):
+        return pd.DataFrame({"block_key": pd.Series(dtype=object),
+                             "precision": pd.Series(dtype=np.float64),
+                             "recall": pd.Series(dtype=np.float64),
+                             "f1": pd.Series(dtype=np.float64)})
+    pages, truth = arnetminer_tables(raw)
+    clusters = run_linkage(rd.from_arrow(pages), LinkageConfig())
+    scores = pairwise_scores(clusters_with_truth(clusters, truth))
+    return scores.sort_values("block_key").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "source_filter": _q_source_filter,
@@ -924,6 +951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _q_multimodal_features,
         "linkage_clusters": _q_linkage_clusters,
         "linkage_scores": _q_linkage_scores,
+        "linkage_arnetminer": _q_linkage_arnetminer,
         "majority_assignment": _q_majority_assignment,
         "closure_components": _q_closure_components,
         "union_names": _q_union_names,

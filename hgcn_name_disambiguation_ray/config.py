@@ -18,6 +18,10 @@ class LinkageConfig:
     # ---- per-block scoring model (reference constants) ----
     embed_dim: int = 100          # embedding width (reference GCN.py:73)
     feature_dim: int = 100        # token-vector width (word2vec was 100-d)
+    # optional word2vec TEXT-format model file, loaded once per scorer
+    # actor (the reference loads gene/word2vec.model, missing from its
+    # repo; None = deterministic hash-projection embedder)
+    word2vec_path: str | None = None
     # LINE minibatch. The reference uses 64 (name_disambiguation.py:547);
     # 512 keeps the same total example visits (epochs_factor) and the
     # F1>=0.99 conformance bar while cutting per-step Python overhead 8x
@@ -35,6 +39,22 @@ class LinkageConfig:
     fusion_denom: float = 10.0
     epochs_factor: int = 3        # total_batch = 3*len(u_i)/batch (reference :548)
     ghac_threshold: float = 0.9   # pre-clustering similarity threshold (reference :86)
+    # which graph scores auto-k partitions: "sim" = σ-similarity graph
+    # (reference standard/Arnetminer mode, :84-98), "combined" = raw
+    # combined adjacency (OpenAlex variant, :649)
+    modularity_on: str = "sim"
+    # auto-k lower bound: "components" stops at the similarity graph's
+    # component count (the reference's current GHAC code, :83-88);
+    # "one" lets HAC merge disconnected components at distance 0 (the
+    # regime the reference's COMMITTED cluster artifacts exhibit — they
+    # predate the graph-constrained rewrite and rely on the original
+    # external word2vec model for cross-component similarity)
+    auto_k_floor: str = "components"
+    # similarity masking: "graph" masks σ(H·Hᵀ) to combined-graph edges
+    # (the reference's current GHAC signature, :61-77); "none" scores all
+    # in-block pairs (the original-HGCN regime of the committed artifacts;
+    # needs strong external token vectors to avoid collapse)
+    sim_mask: str = "graph"
     min_shared_tokens: int = 2    # co-title edge rule |stemmed ∩| >= 2 (reference :422)
 
     # ---- blocking / skew (new, scale design) ----

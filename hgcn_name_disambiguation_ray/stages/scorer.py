@@ -92,7 +92,10 @@ class BlockScorer:
 
     def __init__(self, cfg: LinkageConfig | None = None, fixed_k: bool = False):
         self.cfg = cfg or LinkageConfig()
-        self.embedder = HashEmbedder(dim=self.cfg.feature_dim, seed=self.cfg.seed)
+        self.embedder = HashEmbedder(
+            dim=self.cfg.feature_dim, seed=self.cfg.seed,
+            model_path=self.cfg.word2vec_path,
+        )
         self.fixed_k = fixed_k  # conformance mode C7: k = |truth clusters| column
 
     def __call__(self, group: pa.Table | pd.DataFrame) -> pa.Table:
@@ -183,4 +186,8 @@ class BlockScorer:
         u_i, u_j, lab = metapath_walks(layers, cfg, rng)
         encoder = BlockEncoder(cfg, seed ^ 0x5A5A5A5A)
         embed = encoder.fit_embed(layers[:3], feats, u_i, u_j, lab)
-        return ghac_cluster(embed, layers[-1], n_clusters=n_clusters, threshold=cfg.ghac_threshold)
+        return ghac_cluster(embed, layers[-1], n_clusters=n_clusters,
+                            threshold=cfg.ghac_threshold,
+                            modularity_on=cfg.modularity_on,
+                            auto_k_floor=cfg.auto_k_floor,
+                            sim_mask=cfg.sim_mask)

@@ -22,14 +22,43 @@ import numpy as np
 from hgcn_name_disambiguation_ray.functions.hashing import stable_hash64
 
 
+def load_word2vec_text(path: str) -> tuple[dict[str, np.ndarray], int]:
+    """Load the public word2vec TEXT format: header line "n dim", then one
+    "token v1 .. vdim" line per word. Returns ({token: vector}, dim)."""
+    vocab: dict[str, np.ndarray] = {}
+    with open(path, encoding="utf-8") as f:
+        header = f.readline().split()
+        dim = int(header[1])
+        for line in f:
+            parts = line.rstrip("\n").split(" ")
+            if len(parts) != dim + 1:
+                continue  # malformed row: skip, don't fail the actor
+            vocab[parts[0]] = np.asarray(parts[1:], dtype=np.float64)
+    return vocab, dim
+
+
 class HashEmbedder:
-    def __init__(self, dim: int = 100, seed: int = 0, cache_max: int = 1 << 20):
+    """Pluggable token embedder (ST1): pass `model_path` (word2vec text
+    format) to load a real model ONCE per actor — in-vocab tokens use the
+    model, out-of-vocab tokens fall back to zeros exactly like the
+    reference's standard mode (`name_disambiguation.py:1150`). Without a
+    model the deterministic hash projection is used for every token."""
+
+    def __init__(self, dim: int = 100, seed: int = 0, cache_max: int = 1 << 20,
+                 model_path: str | None = None):
         self.dim = dim
         self.seed = seed
         self._cache: dict[str, np.ndarray] = {}
         self._cache_max = cache_max
+        self._model: dict[str, np.ndarray] | None = None
+        if model_path is not None:
+            self._model, model_dim = load_word2vec_text(model_path)
+            self.dim = model_dim
 
     def token_vector(self, token: str) -> np.ndarray:
+        if self._model is not None:
+            v = self._model.get(token)
+            return v if v is not None else np.zeros(self.dim)
         v = self._cache.get(token)
         if v is None:
             rng = np.random.default_rng(stable_hash64(token) ^ self.seed)
@@ -41,7 +70,7 @@ class HashEmbedder:
     def mean_vector(self, tokens: list[str]) -> np.ndarray:
         """Mean token vector; zeros fallback for empty token lists
         (the deterministic variant of the reference's fallback, M7)."""
-        if not tokens:
+        if len(tokens) == 0:
             return np.zeros(self.dim)
         return np.mean([self.token_vector(t) for t in tokens], axis=0)
 

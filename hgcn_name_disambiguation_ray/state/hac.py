@@ -21,10 +21,19 @@ from __future__ import annotations
 import numpy as np
 
 
-def sigmoid_similarity_matrix(embed: np.ndarray, combined: np.ndarray) -> np.ndarray:
-    """σ(H Hᵀ) masked to the combined graph's edges, 0 diagonal."""
+def sigmoid_similarity_matrix(
+    embed: np.ndarray, combined: np.ndarray | None = None
+) -> np.ndarray:
+    """σ(H Hᵀ), 0 diagonal. With `combined` given, masked to the combined
+    graph's edges (the fork's graph-constrained GHAC); with None, ALL
+    pairs are scored (the original HGCN semantics — the committed cluster
+    artifacts merge across graph components, which only the unmasked
+    similarity can produce)."""
     dots = embed @ embed.T
     sim = 1.0 / (1.0 + np.exp(-np.clip(dots, -35.0, 35.0)))
+    if combined is None:
+        np.fill_diagonal(sim, 0.0)
+        return sim
     mask = combined > 0
     np.fill_diagonal(mask, False)
     return np.where(mask, sim, 0.0)
@@ -99,6 +108,40 @@ def labels_at_k(n: int, merges: list[tuple[int, int]], k: int) -> np.ndarray:
     return labels
 
 
+def modularity_along_merges(adj: np.ndarray, merges: list[tuple[int, int]]) -> np.ndarray:
+    """Newman weighted modularity of the partition at EVERY k in one
+    incremental replay of the merge sequence: O(n^2) total instead of
+    O(n^2) per evaluated k. Returns qs where qs[k] = Q of the partition
+    with k clusters (k = n .. 1); qs[0] unused."""
+    n = adj.shape[0]
+    qs = np.zeros(n + 1, dtype=np.float64)
+    m2 = adj.sum()
+    if m2 <= 0 or n == 0:
+        return qs
+    deg = adj.sum(axis=1).astype(np.float64)
+    W = adj.astype(np.float64).copy()      # cluster-cross weights
+    np.fill_diagonal(W, 0.0)
+    S = np.diag(adj).astype(np.float64)    # within-cluster weight (double-counted)
+    q = float((S / m2 - (deg / m2) ** 2).sum())
+    qs[n] = q
+    for t, (i, j) in enumerate(merges):
+        cross = W[i, j]
+        q -= S[i] / m2 - (deg[i] / m2) ** 2
+        q -= S[j] / m2 - (deg[j] / m2) ** 2
+        S[i] = S[i] + S[j] + 2.0 * cross
+        deg[i] += deg[j]
+        q += S[i] / m2 - (deg[i] / m2) ** 2
+        W[i] += W[j]
+        W[:, i] += W[:, j]
+        W[i, i] = 0.0
+        W[j, :] = 0.0
+        W[:, j] = 0.0
+        S[j] = 0.0
+        deg[j] = 0.0
+        qs[n - 1 - t] = q
+    return qs
+
+
 def weighted_modularity(adj: np.ndarray, labels: np.ndarray) -> float:
     """Newman weighted modularity Q of a partition (python-louvain's
     `community.modularity` semantics for undirected weighted graphs)."""
@@ -118,36 +161,52 @@ def ghac_cluster(
     combined: np.ndarray,
     n_clusters: int = -1,
     threshold: float = 0.9,
+    modularity_on: str = "sim",
+    auto_k_floor: str = "one",
+    sim_mask: str = "none",
 ) -> np.ndarray:
-    """GHAC: fixed-k when n_clusters > 0, else modularity-searched auto-k."""
+    """GHAC: fixed-k when n_clusters > 0, else modularity-searched auto-k.
+
+    `modularity_on` selects which graph scores a candidate partition:
+    "sim" = the σ-similarity-weighted graph — the reference's STANDARD
+    (Arnetminer) mode, which builds Gr from the similarity matrix before
+    thresholding (`name_disambiguation.py:84-98`); "combined" = the raw
+    combined adjacency — the OpenAlex-variant semantics (`:649`)."""
     n = embed.shape[0]
     if n == 0:
         return np.zeros(0, dtype=np.int64)
     if n == 1:
         return np.zeros(1, dtype=np.int64)
-    sim = sigmoid_similarity_matrix(embed, combined)
+    sim = sigmoid_similarity_matrix(embed, combined if sim_mask == "graph" else None)
     distance = -sim
     merges = average_linkage_merges(distance)
     if n_clusters > 0:
         return labels_at_k(n, merges, min(n_clusters, n))
 
     # GHAC search range (reference :83-101): from the component count of the
-    # thresholded graph (k_hi, edge pre-clustering) DOWN to the component
-    # count of the full similarity graph (k_lo); ties prefer smaller k
-    # (the reference's `mod >= best_m` keeps the latest = smallest k).
-    k_lo = len(np.unique(connected_components_dense(sim)))
+    # thresholded graph (k_hi, edge pre-clustering) DOWN to k_lo; ties
+    # prefer smaller k (the reference's `mod >= best_m` keeps the latest =
+    # smallest k). auto_k_floor="components" bounds k_lo at the similarity
+    # graph's component count (the fork's current code); "one" lets HAC
+    # keep merging disconnected components at distance 0 — the behaviour
+    # the reference's committed cluster artifacts exhibit (e.g. `Robert
+    # Schreiber_output.txt`: 7 clusters over an 11-component graph).
+    if auto_k_floor == "components":
+        k_lo = len(np.unique(connected_components_dense(sim)))
+    else:
+        k_lo = 1
     thr = np.where(sim > threshold, sim, 0.0)
     k_hi = len(np.unique(connected_components_dense(thr)))
     k_lo = max(1, min(k_lo, n))
     k_hi = max(k_lo, min(k_hi, n))
+    mod_graph = sim if modularity_on == "sim" else combined
+    # one incremental replay scores every k; scan descending with >= so the
+    # smallest maximal k wins, matching the reference's loop direction
+    qs = modularity_along_merges(mod_graph, merges)
     best_q = -np.inf
-    best_labels = None
+    best_k = min(2, n)
     for k in range(k_hi, k_lo - 1, -1):
-        labels = labels_at_k(n, merges, k)
-        q = weighted_modularity(combined, labels)
-        if q >= best_q:
-            best_q = q
-            best_labels = labels
-    if best_labels is None:
-        best_labels = labels_at_k(n, merges, min(2, n))
-    return best_labels
+        if qs[k] >= best_q:
+            best_q = qs[k]
+            best_k = k
+    return labels_at_k(n, merges, best_k)

@@ -109,3 +109,24 @@ def test_scorer_isolated_mentions_get_own_clusters():
         ["h1", "h2", "h3"],
     )
     assert len(set(labels.tolist())) == 3
+
+
+def test_embedder_word2vec_pluggable(tmp_path):
+    """ST1 extension surface: a word2vec text-format model file loads once
+    per embedder; in-vocab tokens use it, OOV falls back to zeros (the
+    reference's standard-mode fallback, name_disambiguation.py:1150)."""
+    import numpy as np
+
+    from hgcn_name_disambiguation_ray.state.embedder import HashEmbedder
+
+    p = tmp_path / "w2v.txt"
+    p.write_text("2 3\ngraph 1.0 2.0 3.0\nmodel 0.5 0.5 0.5\n")
+    emb = HashEmbedder(model_path=str(p))
+    assert emb.dim == 3
+    np.testing.assert_allclose(emb.token_vector("graph"), [1.0, 2.0, 3.0])
+    np.testing.assert_allclose(emb.token_vector("unseen"), [0.0, 0.0, 0.0])
+    np.testing.assert_allclose(emb.mean_vector(["graph", "model"]), [0.75, 1.25, 1.75])
+    # default path unchanged: deterministic hash projection
+    d = HashEmbedder(dim=4, seed=1)
+    np.testing.assert_allclose(d.token_vector("x"), d.token_vector("x"))
+    assert d.token_vector("x").shape == (4,)
