@@ -358,7 +358,19 @@ def _verify_pairs_by_join(
     This is the scale path: candidate pairs at web scale are O(corpus), so
     neither the pairs nor the feature map may be pulled to the driver or
     broadcast whole. The inner joins also restrict the feature shuffle to
-    candidate vertices — non-colliding docs never ship their features."""
+    candidate vertices — non-colliding docs never ship their features.
+
+    Partition count is sized from the actual bytes moved (~256 MB per
+    partition, floored at 2, capped at 4x cluster CPUs): each hash-join
+    partition costs a fixed aggregator-actor overhead (~1.5 s measured),
+    so small candidate sets must not fan out to #CPU partitions."""
+    if num_partitions is None:
+        import ray
+
+        cand = cand.materialize()
+        total = (cand.size_bytes() or 0) + (feats.size_bytes() or 0)
+        cap = max(64, 4 * int(ray.cluster_resources().get("CPU", 8)))
+        num_partitions = int(max(2, min(cap, total // (256 << 20) + 1)))
     fu = feats.map_batches(
         lambda t: pa.table({"u": t["doc_id"], f"{feat_col}_u": t[feat_col]}),
         batch_format="pyarrow",
