@@ -156,6 +156,47 @@ def weighted_modularity(adj: np.ndarray, labels: np.ndarray) -> float:
     return float(q)
 
 
+def ghac_auto_k_openalex(
+    embed: np.ndarray,
+    combined: np.ndarray,
+    n_author_ids: int,
+    threshold: float = 0.9,
+) -> np.ndarray:
+    """The OpenAlex-variant auto-k (reference `name_disambiguation.py:
+    596-683`), guards and all:
+
+      * start_k = max(2, components(σ>threshold)), end_k = max(start_k,
+        components(σ)). Because thresholding only ever ADDS components,
+        end_k <= start_k always holds and the reference's ascending
+        `range(start_k, end_k+1)` evaluates exactly ONE k — mirrored
+        as-is (a documented reference behaviour, not re-designed).
+      * both component counts <= 1  -> k = max(2, min(n_author_ids, 10)),
+        clamped to 1 for single-publication blocks (`:622-628`).
+      * similarity graph with no edges -> same fallback (`:666-683`).
+    """
+    n = embed.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    if n == 1:
+        return np.zeros(1, dtype=np.int64)
+    sim = sigmoid_similarity_matrix(embed, combined)
+    merges = average_linkage_merges(-sim)
+
+    def fallback_k() -> int:
+        k = max(2, min(n_author_ids, 10))
+        return min(k, n)
+
+    if (sim > 0).sum() == 0:  # no edges at all: modularity undefined
+        return labels_at_k(n, merges, fallback_k())
+    n_components = len(np.unique(connected_components_dense(sim)))
+    n_components1 = len(np.unique(connected_components_dense(np.where(sim > threshold, sim, 0.0))))
+    start_k = max(2, n_components1)
+    end_k = max(start_k, n_components)
+    if end_k <= 1:
+        return labels_at_k(n, merges, fallback_k())
+    return labels_at_k(n, merges, min(start_k, n))
+
+
 def ghac_cluster(
     embed: np.ndarray,
     combined: np.ndarray,

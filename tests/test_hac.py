@@ -86,3 +86,36 @@ def test_ghac_fixed_k():
 def test_ghac_degenerate_sizes():
     assert ghac_cluster(np.zeros((0, 4)), np.zeros((0, 0))).tolist() == []
     assert ghac_cluster(np.ones((1, 4)), np.zeros((1, 1))).tolist() == [0]
+
+
+def test_openalex_auto_k_degenerate_blocks():
+    """The OpenAlex-variant guards (reference :618-683): single pub ->
+    one cluster; no edges -> k = max(2, min(n_author_ids, 10)); normal
+    graph -> exactly the thresholded component count (the reference's
+    ascending one-iteration loop)."""
+    import numpy as np
+
+    from hgcn_name_disambiguation_ray.state.hac import ghac_auto_k_openalex
+
+    # single publication
+    e1 = np.ones((1, 4))
+    assert ghac_auto_k_openalex(e1, np.zeros((1, 1)), n_author_ids=3).tolist() == [0]
+
+    # no edges at all (all-isolated block): fallback k = max(2, min(ids, 10))
+    rng = np.random.default_rng(0)
+    e = rng.normal(size=(6, 4))
+    labels = ghac_auto_k_openalex(e, np.zeros((6, 6)), n_author_ids=3)
+    assert len(set(labels.tolist())) == 3
+    labels = ghac_auto_k_openalex(e, np.zeros((6, 6)), n_author_ids=1)
+    assert len(set(labels.tolist())) == 2  # max(2, ...) guard
+
+    # a 2-component graph with strong within-component similarity: k equals
+    # the thresholded component count (>= 2), never fewer
+    emb = np.zeros((4, 4))
+    emb[0] = emb[1] = [3, 0, 0, 0]
+    emb[2] = emb[3] = [0, 3, 0, 0]
+    comb = np.zeros((4, 4))
+    comb[0, 1] = comb[1, 0] = comb[2, 3] = comb[3, 2] = 1.0
+    labels = ghac_auto_k_openalex(emb, comb, n_author_ids=2)
+    assert labels[0] == labels[1] and labels[2] == labels[3]
+    assert labels[0] != labels[2]
