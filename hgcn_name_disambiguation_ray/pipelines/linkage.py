@@ -166,6 +166,139 @@ def run_linkage(
     )
 
 
+def run_linkage_sharded(
+    pages: Dataset,
+    cfg: LinkageConfig | None = None,
+    checkpoint_dir: str = "/tmp/linkage_ckpt",
+    lineage_token: str = "",
+    n_shards: int = 16,
+    max_shards_this_run: int | None = None,
+) -> Dataset | None:
+    """Per-partition resumable linkage: block keys hash into `n_shards`
+    shards; each shard runs the scorer + cross-salt merge independently
+    and lands in its own parquet directory with a lineage manifest. A
+    killed run resumes by SKIPPING finished shards — the per-partition
+    granularity the stage-level `checkpoint_stage` can't give. All salts
+    of a key share its shard, so the cross-salt merge never crosses a
+    shard boundary.
+
+    `max_shards_this_run` bounds how many missing shards one call
+    processes (tests use it to simulate a crash). Returns the full
+    clusters Dataset, or None if shards remain unfinished."""
+    import json
+    import os
+
+    from hgcn_name_disambiguation_ray.functions.hashing import stable_hash64_array
+    from hgcn_name_disambiguation_ray.sources.checkpoint import (
+        checkpoint_stage,
+        fingerprint,
+    )
+
+    cfg = cfg or LinkageConfig()
+    mentions = checkpoint_stage(
+        lambda: extract_mentions(pages, cfg),
+        f"{checkpoint_dir}/mentions",
+        fingerprint("mentions-v1", lineage_token, cfg),
+    )
+    counts = block_counts(mentions, min_count=cfg.salt_cap)
+    salt_map = make_salt_map(counts, cfg.salt_cap)
+
+    def shard_of(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys = np.asarray(t["block_key"].to_pandas(), dtype=object)
+        sh = (stable_hash64_array(keys) % n_shards).astype(np.int32)
+        return t.append_column("__shard", pa.array(sh, type=pa.int32()))
+
+    sharded = mentions.map_batches(shard_of, batch_format="pyarrow")
+    base_lineage = fingerprint("clusters-shard-v1", lineage_token, cfg,
+                               sorted(salt_map.items()), n_shards)
+    out_cols = ["block_key", "salt", "mention_id", "cluster_id"]
+
+    done, missing = [], []
+    for s in range(n_shards):
+        mpath = os.path.join(checkpoint_dir, f"shard={s}", "_manifest.json")
+        ok = False
+        if os.path.exists(mpath):
+            try:
+                with open(mpath) as f:
+                    ok = json.load(f).get("lineage") == f"{base_lineage}:{s}"
+            except (json.JSONDecodeError, OSError):
+                ok = False
+        (done if ok else missing).append(s)
+
+    budget = len(missing) if max_shards_this_run is None else max_shards_this_run
+    for s in missing[:budget]:
+        import pyarrow.compute as pc
+
+        shard_ds = sharded.filter(expr=f"__shard == {s}").drop_columns(["__shard"])
+        clusters = _score_and_merge(shard_ds, cfg, salt_map)
+
+        def project(t: pa.Table) -> pa.Table:
+            return t.select(out_cols)
+
+        checkpoint_stage(
+            lambda: clusters.map_batches(project, batch_format="pyarrow"),
+            os.path.join(checkpoint_dir, f"shard={s}"),
+            f"{base_lineage}:{s}",
+        )
+        done.append(s)
+
+    if len(done) < n_shards:
+        return None  # crashed / budgeted run: resume later
+    # read_parquet accepts one directory but not a list of them: expand
+    files = []
+    for s in range(n_shards):
+        d = os.path.join(checkpoint_dir, f"shard={s}", "data")
+        files.extend(
+            os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+        )
+    return rd.read_parquet(files)
+
+
+def _score_and_merge(mentions: Dataset, cfg: LinkageConfig, salt_map: dict) -> Dataset:
+    """Scorer + cross-salt merge over one (already sharded) mention set —
+    the shared tail of run_linkage, factored for the sharded path."""
+    salt_ref = ray.put(salt_map)
+    salted = mentions.map_batches(
+        AssignSalt, fn_constructor_args=(salt_ref,), batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    n_parts = max(8, 4 * int(ray.cluster_resources().get("CPU", 8)))
+    salted = salted.repartition(n_parts)
+    clusters = salted.groupby(["block_key", "salt"]).map_groups(
+        BlockScorer, fn_constructor_args=(cfg,), batch_format="pyarrow",
+        concurrency=cfg.scorer_concurrency,
+    )
+    out_cols = ["block_key", "salt", "mention_id", "cluster_id"]
+    if not salt_map:
+        return clusters.select_columns(out_cols)
+    clusters = clusters.materialize()
+    hot_keys = set(salt_map)
+
+    def hot_filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t["block_key"], value_set=pa.array(sorted(hot_keys))))
+
+    hot_clusters = clusters.map_batches(hot_filter, batch_format="pyarrow")
+    roots_df = hot_cluster_roots(hot_clusters, cfg).to_pandas()
+    root_map = dict(zip(roots_df["cluster_id"], roots_df["root"]))
+    root_ref = ray.put(root_map)
+
+    class Relabel:
+        def __init__(self, ref):
+            self.roots = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df[out_cols].copy()
+            df["cluster_id"] = df["cluster_id"].map(lambda c: self.roots.get(c, c))
+            return df
+
+    return clusters.map_batches(Relabel, fn_constructor_args=(root_ref,),
+                                batch_format="pandas", concurrency=(1, 4))
+
+
 def clusters_with_truth(clusters: Dataset, truth: pa.Table) -> Dataset:
     """Attach ground-truth person_id (fixtures only) for evaluation."""
     tdf = truth.to_pandas()[["mention_id", "person_id"]]

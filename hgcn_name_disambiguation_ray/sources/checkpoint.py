@@ -52,7 +52,9 @@ def checkpoint_stage(
             with open(manifest_path) as f:
                 m = json.load(f)
             if m.get("lineage") == lineage:
-                return (read_fn or rd.read_parquet)(data_dir)
+                if any(f.endswith(".parquet") for f in os.listdir(data_dir)):
+                    return (read_fn or rd.read_parquet)(data_dir)
+                return rd.from_items([])
         except (json.JSONDecodeError, OSError):
             pass
         shutil.rmtree(stage_dir, ignore_errors=True)
@@ -60,13 +62,19 @@ def checkpoint_stage(
     os.makedirs(stage_dir, exist_ok=True)
     tmp_dir = os.path.join(stage_dir, "_tmp")
     shutil.rmtree(tmp_dir, ignore_errors=True)
+    # pre-create: a zero-row stage writes no files and must still land an
+    # (empty) data dir — valid checkpoint, not a crash
+    os.makedirs(tmp_dir, exist_ok=True)
     t0 = time.time()
     ds = ds_factory()
     ds.write_parquet(tmp_dir)
     elapsed = time.time() - t0
     shutil.rmtree(data_dir, ignore_errors=True)
     os.rename(tmp_dir, data_dir)
-    out = (read_fn or rd.read_parquet)(data_dir)
+    if any(f.endswith(".parquet") for f in os.listdir(data_dir)):
+        out = (read_fn or rd.read_parquet)(data_dir)
+    else:
+        out = rd.from_items([])
     with open(manifest_path, "w") as f:
         json.dump(
             {

@@ -140,3 +140,57 @@ def test_overlap_stress_conformance():
     _, scores = _run(dict(SPEC, overlap_stress=True), {})
     macro = scores[scores["block_key"] == "__macro__"].iloc[0]
     assert macro["f1"] >= 0.9, scores.to_string()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sharded_checkpoint_kill_resume(tmp_path):
+    """Per-partition resume: a run killed after 2 of 4 shards must resume
+    by recomputing ONLY the missing shards, and the final clusters must
+    equal a clean unsharded run."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.config import LinkageConfig
+    from hgcn_name_disambiguation_ray.fixtures import FixtureSpec, write_fixture
+    from hgcn_name_disambiguation_ray.pipelines.linkage import (
+        run_linkage,
+        run_linkage_sharded,
+    )
+
+    paths = write_fixture(
+        FixtureSpec(n_names=6, persons_per_name=2, docs_per_person=6, hot_name_factor=2),
+        str(tmp_path / "fx"),
+    )
+    pages = rd.read_parquet(paths["pages"])
+    cfg = LinkageConfig()
+    ckpt = str(tmp_path / "ckpt")
+
+    # "crash" after 2 shards
+    out = run_linkage_sharded(pages, cfg, ckpt, lineage_token="t", n_shards=4,
+                              max_shards_this_run=2)
+    assert out is None
+    manifests = {
+        s: json.load(open(os.path.join(ckpt, f"shard={s}", "_manifest.json")))
+        for s in range(4)
+        if os.path.exists(os.path.join(ckpt, f"shard={s}", "_manifest.json"))
+    }
+    assert len(manifests) == 2
+
+    # resume: finishes the remaining shards, does NOT rewrite finished ones
+    out = run_linkage_sharded(pages, cfg, ckpt, lineage_token="t", n_shards=4)
+    assert out is not None
+    for s, m in manifests.items():
+        m2 = json.load(open(os.path.join(ckpt, f"shard={s}", "_manifest.json")))
+        assert m2["written_at_epoch"] == m["written_at_epoch"], s
+
+    import pandas as pd
+
+    got = out.to_pandas().sort_values("mention_id").reset_index(drop=True)
+    want = run_linkage(pages, cfg).to_pandas().sort_values("mention_id").reset_index(drop=True)
+    # cluster ids are min-member-derived, deterministic across both paths
+    pd.testing.assert_frame_equal(
+        got[["mention_id", "block_key", "cluster_id"]],
+        want[["mention_id", "block_key", "cluster_id"]],
+    )
