@@ -18,6 +18,24 @@ from ray.data import Dataset
 
 from hgcn_name_disambiguation_ray.functions.hashing import stable_hash64
 
+def _u8_list(rows: list[np.ndarray]) -> pa.ListArray:
+    """Variable-length uint8 rows -> list<uint8> via one flat buffer."""
+    lens = np.array([len(r) for r in rows], dtype=np.int64)
+    offsets = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    flat = np.concatenate(rows) if rows else np.zeros(0, dtype=np.uint8)
+    return pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat, type=pa.uint8()))
+
+
+def _flat_pixels(col: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """list<uint8> column -> (flat numpy values, offsets) zero-copy-ish."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.uint8)
+    base = offsets[0]
+    return flat[base:] if base else flat, offsets - base
+
+
 IMAGE_SCHEMA = pa.schema(
     [
         ("item_id", pa.string()),
@@ -52,19 +70,21 @@ class DecodeImage:
         return rng.integers(0, 256, size=(height, width, self.channels), dtype=np.uint8)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids = t["item_id"].to_pylist()
         payloads = t["payload"].to_pylist()
         ws = t["width"].to_pylist()
         hs = t["height"].to_pylist()
-        pixels = []
-        for p, w, h in zip(payloads, ws, hs):
-            pixels.append(self._decode(p or b"", int(w), int(h)).reshape(-1))
+        # decode is inherently per-item (a real codec call per payload);
+        # assembly is one flat buffer + offsets, no Python list roundtrip
+        pixels = [
+            self._decode(p or b"", int(w), int(h)).reshape(-1)
+            for p, w, h in zip(payloads, ws, hs)
+        ]
         return pa.table(
             {
-                "item_id": pa.array(ids, type=pa.string()),
+                "item_id": t["item_id"],
                 "width": t["width"],
                 "height": t["height"],
-                "pixels": pa.array([px.tolist() for px in pixels], type=pa.list_(pa.uint8())),
+                "pixels": _u8_list(pixels),
             }
         )
 
@@ -79,22 +99,27 @@ class ResizeImage:
         self.channels = channels
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids = t["item_id"].to_pylist()
+        n = t.num_rows
         ws = t["width"].to_pylist()
         hs = t["height"].to_pylist()
-        pixels = t["pixels"].to_pylist()
-        out = []
-        for px, w, h in zip(pixels, ws, hs):
-            img = np.asarray(px, dtype=np.uint8).reshape(int(h), int(w), self.channels)
+        flat, offsets = _flat_pixels(t["pixels"])
+        # per-row gather (input dims vary row to row); output assembled flat
+        out = np.empty(n * self.out_h * self.out_w * self.channels, dtype=np.uint8)
+        stride = self.out_h * self.out_w * self.channels
+        for i, (w, h) in enumerate(zip(ws, hs)):
+            img = flat[offsets[i] : offsets[i + 1]].reshape(int(h), int(w), self.channels)
             yi = (np.arange(self.out_h) * h // self.out_h).astype(np.int64)
             xi = (np.arange(self.out_w) * w // self.out_w).astype(np.int64)
-            out.append(img[yi][:, xi].reshape(-1).tolist())
+            out[i * stride : (i + 1) * stride] = img[yi][:, xi].reshape(-1)
+        new_off = np.arange(0, (n + 1) * stride, stride, dtype=np.int64)
         return pa.table(
             {
-                "item_id": pa.array(ids, type=pa.string()),
-                "width": pa.array([self.out_w] * len(ids), type=pa.int32()),
-                "height": pa.array([self.out_h] * len(ids), type=pa.int32()),
-                "pixels": pa.array(out, type=pa.list_(pa.uint8())),
+                "item_id": t["item_id"],
+                "width": pa.array([self.out_w] * n, type=pa.int32()),
+                "height": pa.array([self.out_h] * n, type=pa.int32()),
+                "pixels": pa.ListArray.from_arrays(
+                    pa.array(new_off), pa.array(out, type=pa.uint8())
+                ),
             }
         )
 
@@ -106,15 +131,26 @@ class ImageFeatures:
         self.channels = channels
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids = t["item_id"].to_pylist()
-        feats = []
-        for px in t["pixels"].to_pylist():
-            a = np.asarray(px, dtype=np.float64).reshape(-1, self.channels)
-            feats.append(np.concatenate([a.mean(0), a.std(0)]).tolist())
+        n = t.num_rows
+        flat, offsets = _flat_pixels(t["pixels"])
+        lens = np.diff(offsets)
+        if n and lens.min() == lens.max():
+            # post-resize rows share one shape: fully vectorized across rows
+            a = flat.astype(np.float64).reshape(n, -1, self.channels)
+            feats = np.concatenate([a.mean(1), a.std(1)], axis=1)
+        else:
+            feats = np.empty((n, 2 * self.channels))
+            for i in range(n):
+                a = flat[offsets[i] : offsets[i + 1]].astype(np.float64).reshape(-1, self.channels)
+                feats[i] = np.concatenate([a.mean(0), a.std(0)])
+        d = 2 * self.channels
         return pa.table(
             {
-                "item_id": pa.array(ids, type=pa.string()),
-                "features": pa.array(feats, type=pa.list_(pa.float64())),
+                "item_id": t["item_id"],
+                "features": pa.ListArray.from_arrays(
+                    pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int64)),
+                    pa.array(feats.reshape(-1), type=pa.float64()),
+                ),
             }
         )
 
