@@ -211,11 +211,18 @@ SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "2"))
 SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "8"))
 
 
+# idle pause before each measured leg: this VM throttles on CUMULATIVE
+# cpu burn (a leg measured right after another runs ~20% slower than the
+# same leg standalone), so both legs must start from a recovered budget
+COOLDOWN_S = int(os.environ.get("GRAFT_SCALE_COOLDOWN_S", "150"))
+
+
 def run_scaling() -> None:
     # generate the fixture once in THIS process so neither child pays for it
     _fixture(SCALING_SPEC, SCALING_FIXTURE_DIR)
 
     def run(ncpu: int) -> dict:
+        time.sleep(COOLDOWN_S)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-job"],
