@@ -119,3 +119,18 @@ def test_openalex_auto_k_degenerate_blocks():
     labels = ghac_auto_k_openalex(emb, comb, n_author_ids=2)
     assert labels[0] == labels[1] and labels[2] == labels[3]
     assert labels[0] != labels[2]
+
+
+def test_ghac_components_mode():
+    """n_clusters=0: clustering = connected components of the (masked)
+    similarity graph — the measured best global selector on real data."""
+    import numpy as np
+
+    from hgcn_name_disambiguation_ray.state.hac import ghac_cluster
+
+    emb = np.eye(4) * 3
+    comb = np.zeros((4, 4))
+    comb[0, 1] = comb[1, 0] = comb[2, 3] = comb[3, 2] = 1.0
+    labels = ghac_cluster(emb, comb, n_clusters=0)
+    assert labels[0] == labels[1] and labels[2] == labels[3]
+    assert labels[0] != labels[2]
