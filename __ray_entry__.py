@@ -894,6 +894,33 @@ def _q_majority_assignment(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_train_test_split(sf_dir: str):
+    """Deterministic 90/10 split by Knuth multiplicative hash of doc_id —
+    pure modular arithmetic, so the oracle replicates it exactly in SQL."""
+    from hgcn_name_disambiguation_ray.stages.sampling import hash_split
+
+    return hash_split(_docs(sf_dir, columns=["doc_id"]), train_pct=90).select_columns(
+        ["doc_id", "split"]
+    )
+
+
+def _q_sampled_docs(sf_dir: str):
+    """Content-stable 20% sample (same rows on every run / cluster size)."""
+    from hgcn_name_disambiguation_ray.stages.sampling import deterministic_sample
+
+    return deterministic_sample(_docs(sf_dir, columns=["doc_id"]), frac=0.2)
+
+
+def _q_group_topk_chars(sf_dir: str):
+    """Per-language top-3 docs by n_chars (ties -> smaller doc_id)."""
+    from hgcn_name_disambiguation_ray.stages.groupagg import group_topk
+
+    return group_topk(
+        _docs(sf_dir, columns=["lang", "doc_id", "n_chars"]),
+        keys=["lang"], sort_col="n_chars", k=3, tie_cols=["doc_id"],
+    )
+
+
 def _q_linkage_arnetminer(sf_dir: str):
     """Real-data conformance: the reference's labeled Arnetminer corpus
     (110 names, ~9k publications) through the untouched production
@@ -952,6 +979,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_clusters": _q_linkage_clusters,
         "linkage_scores": _q_linkage_scores,
         "linkage_arnetminer": _q_linkage_arnetminer,
+        "train_test_split": _q_train_test_split,
+        "sampled_docs": _q_sampled_docs,
+        "group_topk_chars": _q_group_topk_chars,
         "majority_assignment": _q_majority_assignment,
         "closure_components": _q_closure_components,
         "union_names": _q_union_names,
@@ -1073,6 +1103,19 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT e FROM q)) * 1e6) AS BIGINT) AS score_u FROM embeddings WHERE vec_id != 0 "
             "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT e FROM q)) DESC, "
             "vec_id LIMIT 10"
+        ),
+        "train_test_split": (
+            "SELECT doc_id, CASE WHEN ((doc_id + 0) * 2654435761) % 4294967296 "
+            "% 100 < 90 THEN 'train' ELSE 'test' END AS split FROM documents"
+        ),
+        "sampled_docs": (
+            "SELECT doc_id FROM documents WHERE "
+            f"((doc_id + 0) * 2654435761) % 4294967296 < {int(0.2 * (1 << 32))}"
+        ),
+        "group_topk_chars": (
+            "SELECT lang, doc_id, n_chars FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY lang "
+            "ORDER BY n_chars DESC, doc_id) <= 3"
         ),
         "minhash_dedup": _PLANTED_DEDUP_SQL,
         "simhash_dedup": _PLANTED_DEDUP_SQL,

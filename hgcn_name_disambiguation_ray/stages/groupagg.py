@@ -315,6 +315,29 @@ def range_join(
     return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
 
 
+def group_topk(
+    ds: Dataset,
+    keys: list[str],
+    sort_col: str,
+    k: int,
+    tie_cols: list[str] | None = None,
+    n_buckets: int = 64,
+) -> Dataset:
+    """Top-k rows per group by sort_col DESC (ties broken ascending on
+    `tie_cols` for determinism). High-cardinality-safe: groups co-locate
+    by key hash, the head(k) runs vectorized per bucket — never a window
+    over a global sort or a Ray dispatch per group."""
+    tie = tie_cols or []
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            [sort_col] + tie, ascending=[False] + [True] * len(tie), kind="stable"
+        )
+        return df.groupby(keys, sort=False).head(k)
+
+    return bucketed_group_apply(ds, keys, apply, n_buckets)
+
+
 def bucketed_sum(
     ds: Dataset, keys: list[str], value_cols: list[str], n_buckets: int = 64
 ) -> Dataset:

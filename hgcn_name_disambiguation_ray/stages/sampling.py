@@ -1,0 +1,56 @@
+"""Deterministic dataset splitting / sampling (training-data prep).
+
+Both operators key on a Knuth multiplicative hash of the integer id —
+NOT Python's hash() (process-dependent) and NOT `Dataset.random_sample`
+(row-order-dependent): the assignment is a pure function of the id, so
+it is identical on every run, every cluster size, and every engine (the
+hash is plain modular arithmetic, replicable in SQL for the oracle and
+in any downstream system that must agree on the split).
+
+  * hash_split          — append 'train'/'test' split column (pct-based)
+  * deterministic_sample— keep a stable frac of rows by hash threshold
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+_KNUTH = np.uint64(2654435761)
+_MOD32 = np.uint64(1 << 32)
+
+
+def split_hash(ids: np.ndarray, seed: int = 0) -> np.ndarray:
+    """((id + seed) * 2654435761) mod 2^32 — SQL: plain BIGINT arithmetic."""
+    with np.errstate(over="ignore"):
+        return ((ids.astype(np.uint64) + np.uint64(seed)) * _KNUTH) % _MOD32
+
+
+def hash_split(
+    ds: Dataset, id_col: str = "doc_id", train_pct: int = 90, seed: int = 0
+) -> Dataset:
+    """Append a 'split' column: 'train' when hash(id) %% 100 < train_pct."""
+
+    def body(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pandas(), dtype=np.int64)
+        b = (split_hash(ids, seed) % np.uint64(100)).astype(np.int64)
+        split = np.where(b < train_pct, "train", "test")
+        return t.append_column("split", pa.array(split, type=pa.string()))
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+def deterministic_sample(
+    ds: Dataset, frac: float, id_col: str = "doc_id", seed: int = 0
+) -> Dataset:
+    """Keep rows whose hash bucket falls under frac — the same rows on
+    every execution (content-stable, unlike Dataset.random_sample)."""
+    thresh = np.uint64(int(frac * (1 << 32)))
+
+    def body(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pandas(), dtype=np.int64)
+        keep = split_hash(ids, seed) < thresh
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(body, batch_format="pyarrow")

@@ -1,0 +1,64 @@
+"""Deterministic split / sample / per-group top-k operators."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_split_deterministic_and_proportional():
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.sampling import hash_split
+
+    df = pd.DataFrame({"doc_id": np.arange(5000, dtype=np.int64)})
+    a = hash_split(rd.from_pandas(df), train_pct=90).to_pandas().sort_values("doc_id")
+    b = hash_split(rd.from_pandas(df.sample(frac=1.0, random_state=1)), train_pct=90).to_pandas().sort_values("doc_id")
+    # pure function of the id: row order must not matter
+    assert a["split"].tolist() == b["split"].tolist()
+    frac = (a["split"] == "train").mean()
+    assert 0.87 <= frac <= 0.93  # ~90% within hash noise
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_deterministic_sample_stable_rows():
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.sampling import deterministic_sample
+
+    df = pd.DataFrame({"doc_id": np.arange(4000, dtype=np.int64)})
+    s1 = set(deterministic_sample(rd.from_pandas(df), 0.25).to_pandas()["doc_id"])
+    s2 = set(deterministic_sample(rd.from_pandas(df), 0.25).to_pandas()["doc_id"])
+    assert s1 == s2
+    assert 0.22 <= len(s1) / 4000 <= 0.28
+    # larger frac strictly contains smaller (threshold monotonicity)
+    s3 = set(deterministic_sample(rd.from_pandas(df), 0.5).to_pandas()["doc_id"])
+    assert s1 <= s3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_topk_matches_pandas():
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.groupagg import group_topk
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 40, 2000),
+            "id": np.arange(2000, dtype=np.int64),
+            "v": rng.integers(0, 50, 2000),  # many ties
+        }
+    )
+    got = (
+        group_topk(rd.from_pandas(df), ["g"], "v", 3, tie_cols=["id"])
+        .to_pandas().sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["v", "id"], ascending=[False, True], kind="stable")
+        .groupby("g", sort=False).head(3)
+        .sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["g", "id", "v"]], want[["g", "id", "v"]])
