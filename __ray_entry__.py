@@ -894,6 +894,19 @@ def _q_majority_assignment(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_vocabulary(sf_dir: str):
+    """Corpus vocabulary with doc frequencies (tokenizer-training prep)."""
+    from hgcn_name_disambiguation_ray.pipelines.textprep import vocabulary
+
+    return vocabulary(_docs(sf_dir, columns=["doc_id", "text"]), min_count=2)
+
+
+def _q_pii_scrub(sf_dir: str):
+    from hgcn_name_disambiguation_ray.pipelines.textprep import pii_scrub
+
+    return pii_scrub(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
 def _q_train_test_split(sf_dir: str):
     """Deterministic 90/10 split by Knuth multiplicative hash of doc_id —
     pure modular arithmetic, so the oracle replicates it exactly in SQL."""
@@ -980,6 +993,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_scores": _q_linkage_scores,
         "linkage_arnetminer": _q_linkage_arnetminer,
         "train_test_split": _q_train_test_split,
+        "vocabulary_counts": _q_vocabulary,
+        "pii_scrub": _q_pii_scrub,
         "sampled_docs": _q_sampled_docs,
         "group_topk_chars": _q_group_topk_chars,
         "majority_assignment": _q_majority_assignment,
@@ -1103,6 +1118,31 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT e FROM q)) * 1e6) AS BIGINT) AS score_u FROM embeddings WHERE vec_id != 0 "
             "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT e FROM q)) DESC, "
             "vec_id LIMIT 10"
+        ),
+        "vocabulary_counts": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter(string_split("
+            "regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), "
+            "x -> length(x) > 0)) AS token FROM documents) "
+            "SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+            "count(*) AS n_occurrences FROM toks GROUP BY 1 HAVING count(*) >= 2"
+        ),
+        "pii_scrub": (
+            # same pattern ORDER as the engine: email -> url -> phone, each
+            # counted on the text as scrubbed so far (both engines run RE2)
+            "WITH s1 AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, "
+            "regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g') AS t1 FROM documents), "
+            "s2 AS (SELECT doc_id, n_email, "
+            "CAST(len(regexp_extract_all(t1, 'https?://[^\\s]+')) AS BIGINT) AS n_url, "
+            "regexp_replace(t1, 'https?://[^\\s]+', '<URL>', 'g') AS t2 FROM s1) "
+            "SELECT doc_id, regexp_replace(t2, "
+            "'\\+?\\d{1,3}[-. (]?\\d{3}[-. )]?\\d{3}[-. ]?\\d{4}', '<PHONE>', 'g') "
+            "AS text_scrubbed, n_email, n_url, "
+            "CAST(len(regexp_extract_all(t2, "
+            "'\\+?\\d{1,3}[-. (]?\\d{3}[-. )]?\\d{3}[-. ]?\\d{4}')) AS BIGINT) AS n_phone "
+            "FROM s2"
         ),
         "train_test_split": (
             "SELECT doc_id, CASE WHEN ((doc_id + 0) * 2654435761) % 4294967296 "

@@ -185,6 +185,66 @@ def language_id(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+def vocabulary(
+    ds: Dataset,
+    text_col: str = "text",
+    min_count: int = 1,
+    n_buckets: int = 64,
+) -> Dataset:
+    """Corpus vocabulary: (token, n_docs, n_occurrences) per distinct
+    lowercased whitespace token. Per-batch partial counts shrink the
+    shuffle; the merge runs bucketed (token is a high-cardinality key —
+    at web scale this is how the tokenizer-training vocab is built)."""
+    from hgcn_name_disambiguation_ray.stages.groupagg import bucketed_group_apply
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, offsets = split_ws_flat(t[text_col], lower=True)
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "n_docs": pa.array([], type=pa.int64()),
+                             "n_occurrences": pa.array([], type=pa.int64())})
+        doc = np.repeat(np.arange(len(offsets) - 1, dtype=np.int64), np.diff(offsets))
+        df = pd.DataFrame({"d": doc, "w": flat.astype(str)})
+        occ = df.groupby("w", sort=False).agg(
+            n_occurrences=("d", "size"), n_docs=("d", "nunique")
+        ).reset_index()
+        return pa.Table.from_pandas(
+            occ.rename(columns={"w": "token"}), preserve_index=False
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("token", as_index=False, sort=False)[["n_docs", "n_occurrences"]].sum()
+        return out[out["n_occurrences"] >= min_count]
+
+    return bucketed_group_apply(partials, ["token"], merge, n_buckets=n_buckets)
+
+
+# conservative, order-matters scrub patterns (RE2-compatible)
+_PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("phone", r"\+?\d{1,3}[-. (]?\d{3}[-. )]?\d{3}[-. ]?\d{4}", "<PHONE>"),
+]
+
+
+def pii_scrub(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """Replace emails / urls / phone-shaped spans with typed placeholder
+    tokens; emits per-doc hit counts alongside the scrubbed text. All
+    regex passes are Arrow kernels over the whole column."""
+
+    def body(t: pa.Table) -> pa.Table:
+        col = _fill(t[text_col])
+        counts = {}
+        for name, pat, repl in _PII_PATTERNS:
+            counts[f"n_{name}"] = pc.count_substring_regex(col, pattern=pat).cast(pa.int64())
+            col = pc.replace_substring_regex(col, pattern=pat, replacement=repl)
+        return pa.table({id_col: t[id_col], "text_scrubbed": col, **counts})
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
 def fingerprint(
     ds: Dataset, text_col: str = "text", id_col: str = "doc_id",
     window: int = 8,

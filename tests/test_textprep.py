@@ -69,3 +69,44 @@ def test_fingerprint_stability_and_sensitivity(docs_ds, ray_session):
     other = rd.from_pandas(pd.DataFrame([{"doc_id": 0, "text": "completely different words entirely"}]))
     alt = fingerprint(other).to_pandas()["fingerprint"].iloc[0]
     assert alt != out1.loc[0]
+
+
+def test_vocabulary_counts(ray_session):
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.pipelines.textprep import vocabulary
+
+    rows = [
+        {"doc_id": 0, "text": "alpha beta alpha"},
+        {"doc_id": 1, "text": "beta  GAMMA"},
+        {"doc_id": 2, "text": ""},
+    ]
+    out = vocabulary(rd.from_pandas(pd.DataFrame(rows)), min_count=1).to_pandas()
+    got = out.set_index("token")[["n_docs", "n_occurrences"]].to_dict("index")
+    assert got == {
+        "alpha": {"n_docs": 1, "n_occurrences": 2},
+        "beta": {"n_docs": 2, "n_occurrences": 2},
+        "gamma": {"n_docs": 1, "n_occurrences": 1},
+    }
+    out2 = vocabulary(rd.from_pandas(pd.DataFrame(rows)), min_count=2).to_pandas()
+    assert set(out2["token"]) == {"alpha", "beta"}
+
+
+def test_pii_scrub(ray_session):
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.pipelines.textprep import pii_scrub
+
+    rows = [
+        {"doc_id": 0, "text": "mail me at jane.doe+x@corp.example.com now"},
+        {"doc_id": 1, "text": "see https://example.com/a?b=1 and http://x.io"},
+        {"doc_id": 2, "text": "call +1 555 123 4567 today"},
+        {"doc_id": 3, "text": "clean text with no identifiers"},
+    ]
+    out = pii_scrub(rd.from_pandas(pd.DataFrame(rows))).to_pandas().set_index("doc_id")
+    assert "<EMAIL>" in out.loc[0, "text_scrubbed"] and "@" not in out.loc[0, "text_scrubbed"]
+    assert out.loc[0, "n_email"] == 1
+    assert out.loc[1, "n_url"] == 2 and "https://" not in out.loc[1, "text_scrubbed"]
+    assert out.loc[2, "n_phone"] == 1 and "<PHONE>" in out.loc[2, "text_scrubbed"]
+    assert out.loc[3, "text_scrubbed"] == rows[3]["text"]
+    assert (out.loc[3, ["n_email", "n_url", "n_phone"]] == 0).all()
