@@ -907,6 +907,34 @@ def _q_pii_scrub(sf_dir: str):
     return pii_scrub(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Greedy LLM-training sequence packing over whitespace token counts
+    (budget 200, 4 hash buckets — deterministic, SQL-replicable)."""
+    from hgcn_name_disambiguation_ray.pipelines.textprep import pack_sequences, token_count
+
+    counts = token_count(_docs(sf_dir, columns=["doc_id", "text"])).select_columns(
+        ["doc_id", "n_ws_tokens"]
+    )
+    return pack_sequences(counts, token_col="n_ws_tokens", budget=200, n_buckets=4)
+
+
+def _q_compression_ratio(sf_dir: str):
+    from hgcn_name_disambiguation_ray.pipelines.textprep import compression_ratio
+
+    ds = compression_ratio(_docs(sf_dir, columns=["doc_id", "text"]))
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "ratio_milli": pa.compute.round(
+                    pa.compute.multiply(t["compression_ratio"], 1000.0)
+                ).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_train_test_split(sf_dir: str):
     """Deterministic 90/10 split by Knuth multiplicative hash of doc_id —
     pure modular arithmetic, so the oracle replicates it exactly in SQL."""
@@ -994,6 +1022,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_arnetminer": _q_linkage_arnetminer,
         "train_test_split": _q_train_test_split,
         "vocabulary_counts": _q_vocabulary,
+        "pack_sequences": _q_pack_sequences,
+        "compression_docs": _q_compression_ratio,
         "pii_scrub": _q_pii_scrub,
         "sampled_docs": _q_sampled_docs,
         "group_topk_chars": _q_group_topk_chars,
@@ -1118,6 +1148,24 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT e FROM q)) * 1e6) AS BIGINT) AS score_u FROM embeddings WHERE vec_id != 0 "
             "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT e FROM q)) DESC, "
             "vec_id LIMIT 10"
+        ),
+        "pack_sequences": (
+            # the same greedy scan, replayed row-by-row per bucket with a
+            # recursive CTE over id-ordered rows
+            "WITH RECURSIVE d AS (SELECT doc_id, "
+            "length(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n, "
+            "((doc_id + 0) * 2654435761) % 4294967296 % 4 AS bucket FROM documents), "
+            "o AS (SELECT doc_id, n, bucket, "
+            "row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM d), "
+            "r(bucket, rn, doc_id, seq_idx, acc) AS ("
+            "SELECT bucket, rn, doc_id, 0, n FROM o WHERE rn = 1 "
+            "UNION ALL SELECT o.bucket, o.rn, o.doc_id, "
+            "CASE WHEN r.acc > 0 AND r.acc + o.n > 200 THEN r.seq_idx + 1 "
+            "ELSE r.seq_idx END, "
+            "CASE WHEN r.acc > 0 AND r.acc + o.n > 200 THEN o.n ELSE r.acc + o.n END "
+            "FROM r JOIN o ON o.bucket = r.bucket AND o.rn = r.rn + 1) "
+            "SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, "
+            "CAST(seq_idx AS BIGINT) AS seq_idx FROM r"
         ),
         "vocabulary_counts": (
             "WITH toks AS (SELECT doc_id, unnest(list_filter(string_split("

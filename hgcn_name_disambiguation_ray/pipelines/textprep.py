@@ -245,6 +245,70 @@ def pii_scrub(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Da
     return ds.map_batches(body, batch_format="pyarrow")
 
 
+def pack_sequences(
+    ds: Dataset,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    budget: int = 512,
+    n_buckets: int = 16,
+) -> Dataset:
+    """Greedy sequence packing for LLM training: docs hash into buckets,
+    are ordered by id within the bucket, and fill sequences left to right
+    until the token budget would overflow (over-budget docs get their own
+    sequence). Deterministic: output (doc_id, bucket, seq_idx) is a pure
+    function of the inputs, independent of execution order — each bucket
+    packs independently, which is the partitioning assumption."""
+    from hgcn_name_disambiguation_ray.stages.groupagg import bucketed_group_apply
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from hgcn_name_disambiguation_ray.stages.sampling import split_hash
+
+        ids = np.asarray(t[id_col].to_pandas(), dtype=np.int64)
+        b = (split_hash(ids) % np.uint64(n_buckets)).astype(np.int32)
+        return t.append_column("bucket", pa.array(b, type=pa.int32()))
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for bval, g in df.groupby("bucket", sort=False):
+            g = g.sort_values(id_col, kind="stable")
+            toks = g[token_col].to_numpy()
+            seq = np.zeros(len(g), dtype=np.int64)
+            cur, acc = 0, 0
+            for i, n in enumerate(toks):
+                if acc > 0 and acc + n > budget:
+                    cur += 1
+                    acc = 0
+                seq[i] = cur
+                acc += int(n)
+            out.append(pd.DataFrame({id_col: g[id_col].to_numpy(),
+                                     "bucket": np.full(len(g), bval, dtype=np.int64),
+                                     "seq_idx": seq}))
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {id_col: pd.Series(dtype=np.int64), "bucket": pd.Series(dtype=np.int64),
+             "seq_idx": pd.Series(dtype=np.int64)})
+
+    withb = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return bucketed_group_apply(withb, ["bucket"], pack, n_buckets=n_buckets)
+
+
+def compression_ratio(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """zlib-compressed size / raw size per doc — the classic repetitive-
+    junk signal (highly compressible text is boilerplate or spam; the
+    Gopher/RefinedWeb-style quality rule). zlib is a per-row C call."""
+    import zlib
+
+    def body(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        ratios = np.ones(len(texts), dtype=np.float64)
+        for i, s in enumerate(texts):
+            raw = (s or "").encode("utf-8")
+            if raw:
+                ratios[i] = len(zlib.compress(raw, 6)) / len(raw)
+        return pa.table({id_col: t[id_col], "compression_ratio": pa.array(ratios)})
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
 def fingerprint(
     ds: Dataset, text_col: str = "text", id_col: str = "doc_id",
     window: int = 8,

@@ -110,3 +110,43 @@ def test_pii_scrub(ray_session):
     assert out.loc[2, "n_phone"] == 1 and "<PHONE>" in out.loc[2, "text_scrubbed"]
     assert out.loc[3, "text_scrubbed"] == rows[3]["text"]
     assert (out.loc[3, ["n_email", "n_url", "n_phone"]] == 0).all()
+
+
+def test_pack_sequences_greedy_budget(ray_session):
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.pipelines.textprep import pack_sequences
+
+    rows = [{"doc_id": i, "n": n} for i, n in enumerate([100, 100, 150, 600, 50, 50])]
+    out = pack_sequences(
+        rd.from_pandas(pd.DataFrame(rows)), token_col="n", id_col="doc_id",
+        budget=250, n_buckets=1,
+    ).to_pandas().sort_values("doc_id")
+    # greedy by id within the single bucket:
+    # [100,100]=200 | [150]=150 (next would be 750) | [600] alone | [50,50]
+    seq = out.set_index("doc_id")["seq_idx"]
+    assert seq[0] == seq[1]
+    assert seq[2] != seq[1]
+    assert seq[3] not in (seq[2], seq[4])
+    assert seq[4] == seq[5]
+    # per-sequence totals never exceed budget unless a single doc does
+    m = out.merge(pd.DataFrame(rows), on="doc_id")
+    for _, g in m.groupby("seq_idx"):
+        assert g["n"].sum() <= 250 or len(g) == 1
+
+
+def test_compression_ratio_orders_repetitive_below_random(ray_session):
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.pipelines.textprep import compression_ratio
+
+    rng = np.random.default_rng(0)
+    rows = [
+        {"doc_id": 0, "text": "spam " * 200},
+        {"doc_id": 1, "text": " ".join(rng.choice([f"w{i}" for i in range(5000)], 200))},
+        {"doc_id": 2, "text": ""},
+    ]
+    out = compression_ratio(rd.from_pandas(pd.DataFrame(rows))).to_pandas().set_index("doc_id")
+    assert out.loc[0, "compression_ratio"] < out.loc[1, "compression_ratio"]
+    assert out.loc[2, "compression_ratio"] == 1.0
+    assert (out["compression_ratio"] > 0).all()
