@@ -19,7 +19,7 @@ import pandas as pd
 from ray.data import Dataset
 
 
-def _large_star(edges: Dataset) -> Dataset:
+def _large_star(edges: Dataset, n_buckets: int = 64) -> Dataset:
     """For each node u: m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u.
 
     Node groups are high-cardinality, so the per-node contraction runs
@@ -39,10 +39,10 @@ def _large_star(edges: Dataset) -> Dataset:
         return pd.DataFrame({"u": df.loc[keep, "b"], "v": m[keep]}).drop_duplicates()
 
     symmetric = edges.map_batches(sym, batch_format="pandas")
-    return bucketed_group_apply(symmetric, ["a"], contract, n_buckets=64)
+    return bucketed_group_apply(symmetric, ["a"], contract, n_buckets=n_buckets)
 
 
-def _small_star(edges: Dataset) -> Dataset:
+def _small_star(edges: Dataset, n_buckets: int = 64) -> Dataset:
     """Orient edges to (max, min); per node u: m = min(N(u) ∪ {u});
     emit (v, m) for v in N(u) ∪ {u}, v != m. Vectorized per bucket."""
     from hgcn_name_disambiguation_ray.stages.groupagg import bucketed_group_apply
@@ -61,7 +61,7 @@ def _small_star(edges: Dataset) -> Dataset:
         return out[out["u"] != out["v"]].drop_duplicates()
 
     oriented = edges.map_batches(orient, batch_format="pandas")
-    return bucketed_group_apply(oriented, ["a"], contract, n_buckets=64)
+    return bucketed_group_apply(oriented, ["a"], contract, n_buckets=n_buckets)
 
 
 def _checksum(edges: Dataset) -> tuple[int, int]:
@@ -135,10 +135,14 @@ def connected_components(
         return _local_components(edges)
     cur = edges
     prev_sig: tuple[int, int] | None = None
+    # every bucket costs a fixed shuffle/dispatch overhead per round; size
+    # the bucket count to the edge volume (~100k edges per bucket) so toy
+    # graphs do not pay 64 buckets x 2 stars x rounds of pure overhead
+    n_buckets = int(max(8, min(256, edges.count() // 100_000 + 8)))
     for _ in range(max_rounds):
         # pin each round: without this the lazy lineage grows round over
         # round and every checksum re-executes the whole history
-        cur = _small_star(_large_star(cur)).map_batches(
+        cur = _small_star(_large_star(cur, n_buckets), n_buckets).map_batches(
             lambda df: df.drop_duplicates(), batch_format="pandas"
         ).materialize()
         sig = _checksum(cur)
