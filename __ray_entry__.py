@@ -907,6 +907,12 @@ def _q_pii_scrub(sf_dir: str):
     return pii_scrub(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    from hgcn_name_disambiguation_ray.pipelines.textprep import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir, columns=["doc_id", "text"]), k=3)
+
+
 def _q_pack_sequences(sf_dir: str):
     """Greedy LLM-training sequence packing over whitespace token counts
     (budget 200, 4 hash buckets — deterministic, SQL-replicable)."""
@@ -1023,6 +1029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": _q_train_test_split,
         "vocabulary_counts": _q_vocabulary,
         "pack_sequences": _q_pack_sequences,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "compression_docs": _q_compression_ratio,
         "pii_scrub": _q_pii_scrub,
         "sampled_docs": _q_sampled_docs,
@@ -1148,6 +1155,20 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT e FROM q)) * 1e6) AS BIGINT) AS score_u FROM embeddings WHERE vec_id != 0 "
             "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT e FROM q)) DESC, "
             "vec_id LIMIT 10"
+        ),
+        "tfidf_top_terms": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter(string_split("
+            "regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), "
+            "x -> length(x) > 0)) AS token FROM documents), "
+            "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2), "
+            "dfreq AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+            "FROM toks GROUP BY 1), "
+            "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents) "
+            "SELECT doc_id, token, tf, df, "
+            "CAST(round(tf * ln(n / df) * 1e6) AS BIGINT) AS tfidf_micro "
+            "FROM tf JOIN dfreq USING (token), n "
+            "QUALIFY row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY tf DESC, df, token) <= 3"
         ),
         "pack_sequences": (
             # the same greedy scan, replayed row-by-row per bucket with a

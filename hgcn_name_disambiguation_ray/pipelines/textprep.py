@@ -245,6 +245,53 @@ def pii_scrub(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Da
     return ds.map_batches(body, batch_format="pyarrow")
 
 
+def tfidf_top_terms(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> Dataset:
+    """Per-doc top-k terms: (doc_id, token, tf, df, tfidf_micro).
+
+    Selection keys are INTEGERS (tf desc, df asc, token asc) so ranking is
+    engine-exact; tf-idf = tf·ln(N/df) is emitted as a rounded micro score.
+    Composition of the engine's own operators: per-batch (doc, token, tf)
+    partials -> document frequencies via `vocabulary` -> size-probed
+    `auto_join` on the token key -> bucketed `group_topk` per doc."""
+    from hgcn_name_disambiguation_ray.stages.groupagg import auto_join, group_topk
+
+    n_docs_total = ds.count()
+
+    def tf_pairs(t: pa.Table) -> pa.Table:
+        flat, offsets = split_ws_flat(t[text_col], lower=True)
+        ids = np.asarray(t[id_col].to_pandas(), dtype=np.int64)
+        doc = np.repeat(ids, np.diff(offsets))
+        if len(flat) == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "token": pa.array([], type=pa.string()),
+                             "tf": pa.array([], type=pa.int64())})
+        df = pd.DataFrame({id_col: doc, "token": flat.astype(str)})
+        tf = df.groupby([id_col, "token"], sort=False).size().reset_index(name="tf")
+        return pa.Table.from_pandas(tf, preserve_index=False)
+
+    pairs = ds.map_batches(tf_pairs, batch_format="pyarrow")
+    dfreq = vocabulary(ds, text_col=text_col).map_batches(
+        lambda t: pa.table({"token": t["token"], "df": t["n_docs"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    joined = auto_join(pairs, dfreq, on=["token"])
+
+    def score(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df_ = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        micro = np.round(tf * np.log(n_docs_total / df_) * 1e6).astype(np.int64)
+        return t.append_column("tfidf_micro", pa.array(micro))
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    return group_topk(scored, keys=[id_col], sort_col="tf", k=k,
+                      tie_cols=["df", "token"])
+
+
 def pack_sequences(
     ds: Dataset,
     token_col: str = "n_tokens",

@@ -150,3 +150,24 @@ def test_compression_ratio_orders_repetitive_below_random(ray_session):
     assert out.loc[0, "compression_ratio"] < out.loc[1, "compression_ratio"]
     assert out.loc[2, "compression_ratio"] == 1.0
     assert (out["compression_ratio"] > 0).all()
+
+
+def test_tfidf_top_terms(ray_session):
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.pipelines.textprep import tfidf_top_terms
+
+    rows = [
+        {"doc_id": 0, "text": "apple apple apple banana common"},
+        {"doc_id": 1, "text": "banana banana cherry common"},
+        {"doc_id": 2, "text": "common cherry"},
+    ]
+    out = tfidf_top_terms(rd.from_pandas(pd.DataFrame(rows)), k=2).to_pandas()
+    top0 = out[out["doc_id"] == 0].sort_values(["tf", "df", "token"],
+                                               ascending=[False, True, True])
+    # doc 0: apple tf=3 (rarest), then banana/common tf=1 -> banana (df 2) wins
+    assert top0["token"].tolist() == ["apple", "banana"]
+    # 'common' is in every doc: idf ln(3/3)=0 -> micro score 0
+    assert (out.loc[out["token"] == "common", "tfidf_micro"] == 0).all()
+    apple = out[(out["doc_id"] == 0) & (out["token"] == "apple")].iloc[0]
+    assert apple["tfidf_micro"] == round(3 * np.log(3 / 1) * 1e6)
