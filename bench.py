@@ -143,6 +143,74 @@ def run_benchmarks() -> dict:
     }
 
 
+# web-scale dedup demo corpus: ~180k docs, 30% exact-duplicated (the
+# duplicate rate the near-dup family is designed around)
+DEDUP_SPEC = dict(n_base=140_000, dup_frac=0.3, tokens_per_doc=80, vocab=50_000, seed=17)
+DEDUP_CORPUS_DIR = "/tmp/hgcn_ray_dedup_corpus_v1"
+
+
+def _dedup_corpus() -> str:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(DEDUP_CORPUS_DIR, "docs.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(DEDUP_CORPUS_DIR, exist_ok=True)
+    s = DEDUP_SPEC
+    rng = np.random.default_rng(s["seed"])
+    toks = rng.integers(0, s["vocab"], size=(s["n_base"], s["tokens_per_doc"]))
+    texts = [" ".join(f"w{t}" for t in row) for row in toks]
+    n_dup = int(s["n_base"] * s["dup_frac"])
+    dup_src = rng.choice(s["n_base"], size=n_dup, replace=False)
+    ids = list(range(s["n_base"])) + [10_000_000 + int(i) for i in dup_src]
+    all_texts = texts + [texts[i] for i in dup_src]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(all_texts, type=pa.string())}),
+        path, row_group_size=16384,
+    )
+    return path
+
+
+def run_dedup_scale() -> None:
+    """minhash_lsh_dedup end-to-end over the ~180k-doc / 30%-duplicate
+    corpus: docs/s for the fully distributed verify path, plus a planted-
+    truth check (every duplicate resolves to its source id)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from hgcn_name_disambiguation_ray.stages.dedup import minhash_lsh_dedup
+
+    path = _dedup_corpus()
+    ds = rd.read_parquet(path)
+    n_docs = ds.count()  # warms the cache too
+    t0 = time.time()
+    out = minhash_lsh_dedup(rd.read_parquet(path), threshold=0.9)
+    out_df = out.to_pandas()
+    dt = time.time() - t0
+    n_dup = int(DEDUP_SPEC["n_base"] * DEDUP_SPEC["dup_frac"])
+    correct = int((out_df[out_df["doc_id"] >= 10_000_000]["canonical_id"]
+                   == out_df[out_df["doc_id"] >= 10_000_000]["doc_id"] - 10_000_000).sum())
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "minhash_lsh_dedup docs/sec (30% duplicated corpus)",
+        "docs": n_docs, "sec": round(dt, 3),
+        "docs_per_sec": round(n_docs / dt, 1),
+        "dup_rows_out": int(len(out_df)),
+        "planted_dups": n_dup,
+        "planted_recovered_exact": correct,
+        "num_cpus": NUM_CPUS,
+    }))
+
+
 def run_scaling_job() -> None:
     """Child-process body: the linkage pipeline alone on the big scaling
     fixture, throughput printed as one JSON line."""
@@ -259,6 +327,8 @@ def run_scaling() -> None:
 if __name__ == "__main__":
     if "--scaling-job" in sys.argv:
         run_scaling_job()
+    elif "--dedup-scale" in sys.argv:
+        run_dedup_scale()
     elif "--scaling" in sys.argv:
         run_scaling()
     else:

@@ -279,17 +279,25 @@ def _pairs_in_bucket_groups(df: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
 
 
 def _candidate_pairs(band_rows: Dataset, max_bucket: int = 200) -> Dataset:
-    """(band, bucket) collision groups -> candidate pairs (u, v), u < v.
+    """(band, bucket) collision groups -> GLOBALLY distinct candidate
+    pairs (u, v), u < v.
 
     Bucket ids are high-cardinality (~#docs x bands groups), so grouping
     runs through the bucketed pattern: shuffle by hash(band,bucket) %
-    n_buckets, expand pairs vectorized inside each partition. Distinct
-    pairs only (dedup across bands happens in the verify stage)."""
-    return bucketed_group_apply(
+    n_buckets, expand pairs vectorized inside each partition. A true
+    duplicate pair collides in MOST of its 32 bands, so without the final
+    distinct pass the verify joins would process each real pair ~32x
+    (measured 1.06M candidate rows for 42k true pairs); one cheap
+    (u,v)-keyed shuffle removes the redundancy before the expensive
+    feature joins."""
+    pairs = bucketed_group_apply(
         band_rows,
         ["band", "bucket"],
         lambda df: _pairs_in_bucket_groups(df, max_bucket).drop_duplicates(["u", "v"]),
         n_buckets=64,
+    )
+    return bucketed_group_apply(
+        pairs, ["u", "v"], lambda df: df.drop_duplicates(["u", "v"]), n_buckets=64
     )
 
 
