@@ -69,12 +69,14 @@ def _checksum(edges: Dataset) -> tuple[int, int]:
 
     def h(df: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
-        from hgcn_name_disambiguation_ray.functions.hashing import stable_hash64
 
         if len(df) == 0:
             return pd.DataFrame({"h": [0], "n": [0]})
-        vals = [stable_hash64(f"{a}\x00{b}") for a, b in zip(df["u"], df["v"])]
-        return pd.DataFrame({"h": [int(np.bitwise_xor.reduce(np.asarray(vals, dtype=np.uint64)))], "n": [len(df)]})
+        # convergence compares signatures ACROSS ROUNDS of one driver run,
+        # so the (vectorized C) pandas row hash is sufficient — no need for
+        # the cross-process blake hash here
+        vals = pd.util.hash_pandas_object(df[["u", "v"]], index=False).to_numpy(np.uint64)
+        return pd.DataFrame({"h": [int(np.bitwise_xor.reduce(vals))], "n": [len(df)]})
 
     parts = edges.map_batches(h, batch_format="pandas").to_pandas()
     import numpy as np
