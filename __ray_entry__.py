@@ -115,6 +115,21 @@ def _q_exact_dedup(sf_dir: str):
     return exact_dedup(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
+def _q_dedup_corpus(sf_dir: str):
+    """Surviving rows after exact dedup (min-id representative per
+    distinct text), selected via distributed left-semi join."""
+    from hgcn_name_disambiguation_ray.stages.dedup import exact_dedup_corpus
+
+    out = exact_dedup_corpus(_docs(sf_dir, columns=["doc_id", "text"]))
+    return out.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"], "n_chars3": pa.compute.utf8_length(
+                t["text"].combine_chunks()).cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_lang_agg(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -1012,6 +1027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stemmed_tokens": _q_stemmed_tokens,
         "token_count": _q_token_count,
         "exact_dedup": _q_exact_dedup,
+        "dedup_corpus": _q_dedup_corpus,
         "lang_agg": _q_lang_agg,
         "cooccur_pairs": _q_cooccur_pairs,
         "blocking_keys": _q_blocking_keys,
@@ -1065,6 +1081,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "exact_dedup": (
             "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text"
+        ),
+        "dedup_corpus": (
+            "SELECT doc_id, length(text) AS n_chars3 FROM documents "
+            "WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)"
         ),
         "lang_agg": (
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "

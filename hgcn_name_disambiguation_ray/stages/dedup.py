@@ -90,6 +90,19 @@ def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> 
     return merged.select_columns(["keep_id", "n_copies"])
 
 
+def exact_dedup_corpus(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> Dataset:
+    """The deduped CORPUS itself: the min-id representative row of every
+    distinct text survives, all other copies drop. The keep-set is
+    O(distinct docs) — never broadcastable at web scale — so survivors
+    are selected with a distributed LEFT SEMI join against it."""
+    keep = exact_dedup(ds, text_col, id_col).map_batches(
+        lambda t: pa.table({id_col: t["keep_id"]}), batch_format="pyarrow"
+    )
+    return hash_join(ds, keep, on=[id_col], how="semi")
+
+
 # --------------------------------------------------------------------------
 # vectorized shingle construction
 # --------------------------------------------------------------------------

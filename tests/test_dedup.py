@@ -166,3 +166,13 @@ def test_dedup_no_driver_dataset_materialization(ray_session):
             setattr(Dataset, n, f)
     for out in outs:
         assert out.count() >= 2  # the planted duplicates were found
+
+
+def test_exact_dedup_corpus_keeps_min_id_rows(corpus_ds):
+    from hgcn_name_disambiguation_ray.stages.dedup import exact_dedup_corpus
+
+    out = exact_dedup_corpus(corpus_ds).to_pandas()
+    assert len(out) == 41  # 41 distinct texts survive
+    # every duplicated text keeps its min-id copy, copies 100..104 drop
+    assert set(range(5)) <= set(out["doc_id"])
+    assert not any(100 <= d <= 104 for d in out["doc_id"])
