@@ -82,3 +82,81 @@ def test_pack_sequences_budget_invariant(ray_session, ids, budget):
     m = out.merge(df, on="doc_id")
     for (_, _), g in m.groupby(["bucket", "seq_idx"]):
         assert g["n"].sum() <= budget or len(g) == 1
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 1 << 63), max_size=12), min_size=1, max_size=8
+    )
+)
+def test_minhash_flat_matches_per_doc(doc_hashes):
+    """The segmented minhash kernel must equal the per-doc scalar one,
+    including empty docs interleaved between nonempty ones."""
+    from hgcn_name_disambiguation_ray.functions.hashing import (
+        minhash_signature,
+        minhash_signatures_flat,
+        perm_params,
+    )
+
+    a, b = perm_params(16, 3)
+    flat = np.concatenate([np.asarray(d, dtype=np.uint64) for d in doc_hashes]) \
+        if any(doc_hashes) else np.zeros(0, np.uint64)
+    offsets = np.zeros(len(doc_hashes) + 1, dtype=np.int64)
+    np.cumsum([len(d) for d in doc_hashes], out=offsets[1:])
+    got = minhash_signatures_flat(flat, offsets, a, b)
+    for i, d in enumerate(doc_hashes):
+        want = minhash_signature(np.asarray(d, dtype=np.uint64), a, b)
+        assert (got[i] == want).all(), i
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 1 << 63), max_size=10), min_size=1, max_size=6
+    )
+)
+def test_simhash_flat_matches_per_doc(doc_hashes):
+    from hgcn_name_disambiguation_ray.functions.hashing import simhash, simhash_flat
+
+    flat = np.concatenate([np.asarray(d, dtype=np.uint64) for d in doc_hashes]) \
+        if any(doc_hashes) else np.zeros(0, np.uint64)
+    offsets = np.zeros(len(doc_hashes) + 1, dtype=np.int64)
+    np.cumsum([len(d) for d in doc_hashes], out=offsets[1:])
+    got = simhash_flat(flat, offsets)
+    for i, d in enumerate(doc_hashes):
+        assert int(got[i]) == simhash(np.asarray(d, dtype=np.uint64)), i
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.lists(st.text(alphabet="abc", min_size=1, max_size=3), max_size=8),
+                min_size=1, max_size=6),
+       st.integers(1, 4))
+def test_shingle_hashes_match_scalar_reference(docs, n):
+    """Vectorized shingle mix-chain == a direct per-doc reimplementation
+    (full windows for len>=n, one whole-doc shingle for 0<len<n)."""
+    from hgcn_name_disambiguation_ray.functions.hashing import stable_hash64
+    from hgcn_name_disambiguation_ray.stages.dedup import (
+        _MIX, _SHINGLE_SEED, _shingle_hashes_flat,
+    )
+
+    th_per_doc = [np.array([stable_hash64(t) for t in d], dtype=np.uint64) for d in docs]
+    flat = np.concatenate(th_per_doc) if any(len(d) for d in docs) else np.zeros(0, np.uint64)
+    offsets = np.zeros(len(docs) + 1, dtype=np.int64)
+    np.cumsum([len(d) for d in docs], out=offsets[1:])
+    got_vals, got_off = _shingle_hashes_flat(flat, offsets, n)
+
+    def mix(h_seq):
+        h = np.uint64(_SHINGLE_SEED)
+        with np.errstate(over="ignore"):
+            for x in h_seq:
+                h = (h * _MIX) ^ np.uint64(x)
+        return h
+
+    for i, th in enumerate(th_per_doc):
+        want = []
+        if len(th) >= n:
+            want = [mix(th[j:j + n]) for j in range(len(th) - n + 1)]
+        elif len(th):
+            want = [mix(th)]
+        assert list(got_vals[got_off[i]:got_off[i + 1]]) == want, i
