@@ -993,6 +993,24 @@ def _q_group_topk_chars(sf_dir: str):
     )
 
 
+def _q_linkage_sharded(sf_dir: str):
+    """The per-partition-resumable linkage path over the pages fixture:
+    block-key shards checkpoint independently (kill/resume covered in
+    tests); output must equal the unsharded pipeline's clusters."""
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.config import LinkageConfig
+    from hgcn_name_disambiguation_ray.pipelines.linkage import run_linkage_sharded
+
+    fdir = _fixture_pages_dir()
+    pages = rd.read_parquet(os.path.join(fdir, "pages.parquet"))
+    out = run_linkage_sharded(
+        pages, LinkageConfig(), checkpoint_dir="/tmp/hgcn_ray_shard_ckpt_v1",
+        lineage_token=fdir, n_shards=4,
+    )
+    return out.to_pandas().sort_values("mention_id").reset_index(drop=True)
+
+
 def _q_linkage_arnetminer(sf_dir: str):
     """Real-data conformance: the reference's labeled Arnetminer corpus
     (110 names, ~9k publications) through the untouched production
@@ -1052,6 +1070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_clusters": _q_linkage_clusters,
         "linkage_scores": _q_linkage_scores,
         "linkage_arnetminer": _q_linkage_arnetminer,
+        "linkage_sharded": _q_linkage_sharded,
         "train_test_split": _q_train_test_split,
         "vocabulary_counts": _q_vocabulary,
         "pack_sequences": _q_pack_sequences,

@@ -246,14 +246,16 @@ def run_linkage_sharded(
 
     if len(done) < n_shards:
         return None  # crashed / budgeted run: resume later
-    # read_parquet accepts one directory but not a list of them: expand
+    # read_parquet accepts one directory but not a list of them: expand.
+    # (project out_cols: hive discovery parses the shard=N path segment
+    # into a surplus column, and the unsharded path's schema is the contract)
     files = []
     for s in range(n_shards):
         d = os.path.join(checkpoint_dir, f"shard={s}", "data")
         files.extend(
             os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
         )
-    return rd.read_parquet(files)
+    return rd.read_parquet(files).select_columns(out_cols)
 
 
 def _score_and_merge(mentions: Dataset, cfg: LinkageConfig, salt_map: dict) -> Dataset:
