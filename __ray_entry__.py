@@ -393,9 +393,11 @@ def _q_minhash_dedup(sf_dir: str):
 def _q_simhash_dedup(sf_dir: str):
     from hgcn_name_disambiguation_ray.stages.dedup import simhash_dedup
 
-    # max_hamming=2: planted clones sit at distance 0; the nearest
-    # accidental (real near-dup) pair on the salted corpus measures 3
-    return _dedup_frame(simhash_dedup(_salted_planted_docs(sf_dir), max_hamming=2))
+    # max_hamming=0: planted clones have identical fingerprints; the
+    # nearest accidental (real near-dup) pair on the salted corpus
+    # measures Hamming 3 at sf0.01 but 1 at sf0.1, so only exact-match
+    # verification is collision-free at every scale the query runs at
+    return _dedup_frame(simhash_dedup(_salted_planted_docs(sf_dir), max_hamming=0))
 
 
 def _q_ngram_dedup(sf_dir: str):
