@@ -470,8 +470,14 @@ def _q_ivf_topk(sf_dir: str):
     from hgcn_name_disambiguation_ray.stages.similarity import IvfIndex
 
     # deterministic per-sf index dir: built once, reused by later runs
-    # (the build-once / query-many shape the operator is designed for)
-    index_dir = f"/tmp/ivf_index_{stable_hash64(sf_dir) % (1 << 32):08x}"
+    # (the build-once / query-many shape the operator is designed for).
+    # Keyed on a fingerprint of the INPUT DATA (path + parquet mtime/size),
+    # not the path alone — regenerated fixture data invalidates the cache
+    # instead of silently serving stale vectors.
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fp = stable_hash64(f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}")
+    index_dir = f"/tmp/ivf_index_{fp % (1 << 32):08x}"
     if os.path.exists(os.path.join(index_dir, "_centroids.npy")):
         idx = IvfIndex.load(index_dir)
     else:

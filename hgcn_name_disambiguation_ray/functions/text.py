@@ -118,6 +118,38 @@ def split_ws_flat(
     return flat[keep], cum[offsets]
 
 
+def split_ws_hashed(
+    col: pa.Array | pa.ChunkedArray, lower: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """Like `split_ws_flat` but returns (uint64 token hashes, offsets)
+    without ever materializing tokens as Python objects: the split stays
+    an Arrow kernel, the hash reads the values buffers directly, and the
+    empty-token drop is a byte-length mask from the Arrow offsets."""
+    from hgcn_name_disambiguation_ray.functions.hashing import hash_string_array
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    if lower:
+        col = pc.utf8_lower(col)
+    parts = pc.split_pattern_regex(col, pattern=r"\s+")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    offsets = parts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = parts.values
+    if len(values) == 0:
+        return np.zeros(0, np.uint64), offsets - offsets[0]
+    voff_dtype = np.int64 if pa.types.is_large_string(values.type) else np.int32
+    voff = np.frombuffer(values.buffers()[1], dtype=voff_dtype)[
+        values.offset : values.offset + len(values) + 1
+    ].astype(np.int64)
+    keep = np.diff(voff) > 0  # empty byte-length == empty token (UTF-8)
+    h_all = hash_string_array(values)
+    cum = np.zeros(len(values) + 1, dtype=np.int64)
+    np.cumsum(keep, out=cum[1:])
+    return h_all[keep], cum[offsets]
+
+
 def normalized_name_key(col: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Blocking key from an entity surface name (M1 semantics,
     reference `openAlex_to_HGCN.py:46-91`): lowercase, split on whitespace

@@ -69,6 +69,23 @@ def checkpoint_stage(
     ds = ds_factory()
     ds.write_parquet(tmp_dir)
     elapsed = time.time() - t0
+    if not any(f.endswith(".parquet") for f in os.listdir(tmp_dir)):
+        # write_parquet of a zero-row dataset writes NOTHING; persist the
+        # stage SCHEMA as one empty parquet file so resume returns an
+        # empty dataset with the original columns (a schemaless
+        # rd.from_items([]) breaks downstream select_columns/groupby —
+        # e.g. an empty mentions checkpoint in run_linkage_sharded)
+        schema = ds.schema(fetch_if_missing=True)
+        if schema is not None:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            arrow_schema = getattr(schema, "base_schema", None) or pa.schema(
+                list(zip(schema.names, schema.types))
+            )
+            pq.write_table(
+                arrow_schema.empty_table(), os.path.join(tmp_dir, "empty.parquet")
+            )
     shutil.rmtree(data_dir, ignore_errors=True)
     os.rename(tmp_dir, data_dir)
     if any(f.endswith(".parquet") for f in os.listdir(data_dir)):

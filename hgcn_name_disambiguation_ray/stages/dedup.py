@@ -48,13 +48,14 @@ from ray.data import Dataset
 
 from hgcn_name_disambiguation_ray.functions.hashing import (
     band_keys,
+    content_hash128,
     hamming_distance64,
     minhash_signatures_flat,
     perm_params,
     simhash_flat,
-    stable_hash64_array,
 )
 from hgcn_name_disambiguation_ray.stages.closure import connected_components
+from hgcn_name_disambiguation_ray.stages.similarity import _as_matrix
 from hgcn_name_disambiguation_ray.stages.groupagg import bucketed_group_apply, hash_join
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
@@ -64,29 +65,39 @@ _SHINGLE_SEED = np.uint64(0x51_7C_C1_B7)
 def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
     """One row per distinct text: (keep_id = min id, n_copies).
 
-    Content hashes are high-cardinality (~one group per distinct doc),
-    so the merge runs through the bucketed-groupby pattern — vectorized
-    pandas aggregation per bucket, never a Ray dispatch per group."""
+    Equality is decided by a 128-bit blake2b content hash carried as two
+    uint64 columns (64 bits birthday-collides at ~2^32 docs — guaranteed
+    at the 10^12-doc design scale; 128 bits puts the first collision at
+    ~2^64, see `content_hash128`). Content hashes are high-cardinality
+    (~one group per distinct doc), so the merge runs through the
+    bucketed-groupby pattern — vectorized pandas aggregation per bucket,
+    never a Ray dispatch per group."""
 
     def hash_batch(t: pa.Table) -> pa.Table:
         texts = np.asarray(t[text_col].to_pandas(), dtype=object)
-        h = stable_hash64_array(texts)
-        return pa.table({id_col: t[id_col], "content_hash": pa.array(h, type=pa.uint64())})
+        hi, lo = content_hash128(texts)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "h_hi": pa.array(hi, type=pa.uint64()),
+                "h_lo": pa.array(lo, type=pa.uint64()),
+            }
+        )
 
     def partial(t: pa.Table) -> pa.Table:
         # per-batch combine: (hash, min_id, count) — shrinks the shuffle
-        g = t.group_by("content_hash").aggregate([(id_col, "min"), (id_col, "count")])
-        return g.rename_columns(["content_hash", "keep_id", "n_copies"])
+        g = t.group_by(["h_hi", "h_lo"]).aggregate([(id_col, "min"), (id_col, "count")])
+        return g.rename_columns(["h_hi", "h_lo", "keep_id", "n_copies"])
 
     hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
     partials = hashed.map_batches(partial, batch_format="pyarrow")
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("content_hash", as_index=False, sort=False).agg(
+        return df.groupby(["h_hi", "h_lo"], as_index=False, sort=False).agg(
             keep_id=("keep_id", "min"), n_copies=("n_copies", "sum")
         )
 
-    merged = bucketed_group_apply(partials, ["content_hash"], merge, n_buckets=64)
+    merged = bucketed_group_apply(partials, ["h_hi", "h_lo"], merge, n_buckets=64)
     return merged.select_columns(["keep_id", "n_copies"])
 
 
@@ -118,11 +129,13 @@ def _grouped_arange(counts: np.ndarray) -> np.ndarray:
 
 
 def _token_hashes_flat(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
-    """Lowercased whitespace tokens -> (flat uint64 hashes, offsets)."""
-    from hgcn_name_disambiguation_ray.functions.text import split_ws_flat
+    """Lowercased whitespace tokens -> (flat uint64 hashes, offsets).
 
-    flat, offsets = split_ws_flat(texts, lower=True)
-    return stable_hash64_array(flat), offsets
+    Arrow-native end to end: split via Arrow kernel, hash straight off
+    the values buffers — tokens never materialize as Python objects."""
+    from hgcn_name_disambiguation_ray.functions.text import split_ws_hashed
+
+    return split_ws_hashed(texts, lower=True)
 
 
 def _shingle_hashes_flat(
@@ -281,9 +294,14 @@ def _pairs_in_bucket_groups(df: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
     for (_, _), g in df.groupby(["band", "bucket"], sort=False):
         ids = np.sort(g["doc_id"].to_numpy())
         if len(ids) > max_bucket:
-            # star against min id bounds cost; closure still merges the set
-            out_u.append(np.repeat(ids[0], len(ids) - 1))
-            out_v.append(ids[1:])
+            # bound cost with star edges (min id -> rest) PLUS a chain over
+            # the sorted ids: for VERIFIED ops a failed star edge would
+            # otherwise sever members from duplicates they genuinely match
+            # (the star center may be the one non-duplicate in the bucket);
+            # with the chain, any single outlier only drops its own links
+            # while the rest stay connected. 2n-3 edges instead of n(n-1)/2.
+            out_u.append(np.concatenate([np.repeat(ids[0], len(ids) - 1), ids[1:-1]]))
+            out_v.append(np.concatenate([ids[1:], ids[2:]]))
         else:
             iu, iv = np.triu_indices(len(ids), k=1)
             out_u.append(ids[iu])
@@ -344,8 +362,16 @@ def _candidate_pairs_verified(
             ids = ids[order]
             feats = g[feat_col].to_numpy()[order]
             if len(ids) > max_bucket:
-                iu = np.zeros(len(ids) - 1, dtype=np.int64)
-                iv = np.arange(1, len(ids), dtype=np.int64)
+                # star + chain (see _pairs_in_bucket_groups): the chain keeps
+                # genuine duplicates connected when the star center fails verify
+                iu = np.concatenate(
+                    [np.zeros(len(ids) - 1, dtype=np.int64),
+                     np.arange(1, len(ids) - 1, dtype=np.int64)]
+                )
+                iv = np.concatenate(
+                    [np.arange(1, len(ids), dtype=np.int64),
+                     np.arange(2, len(ids), dtype=np.int64)]
+                )
             else:
                 iu, iv = np.triu_indices(len(ids), k=1)
             out.append(
@@ -556,52 +582,82 @@ def embedding_cosine_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    n_planes: int = 16,
+    n_bands: int = 16,
+    planes_per_band: int = 12,
     seed: int = 11,
 ) -> Dataset:
-    """Near-dup by embedding cosine: random-hyperplane LSH buckets ->
-    candidate pairs -> exact cosine verify IN the candidate bucket (the
-    vector rides along with its two band rows; no driver materialization
-    of the vector table) -> closure."""
+    """Near-dup by embedding cosine: random-hyperplane LSH -> candidate
+    pairs -> exact cosine verify via distributed feature joins -> closure.
 
-    def buckets(t: pa.Table) -> pa.Table:
+    Recall math (the r2 defect this replaces): a single hyperplane
+    agrees on a pair at angle θ with p = 1 - θ/π; a band of b planes
+    collides with p^b; B bands miss with (1-p^b)^B. The old 2-band x
+    8-plane layout missed a genuine θ≈18° (cos 0.95) near-dup with
+    probability ≈ 0.33. At the 16-band x 12-plane default, p(0.95) =
+    0.8976 -> band collision 0.2733 -> miss (1-0.2733)^16 ≈ 0.006
+    (recall ≈ 0.994 AT the default threshold, higher above it), while a
+    random pair (p = 0.5) collides per band with 2^-12 — bucket space
+    stays 4096 per band so accidental candidates stay rare.
+
+    The vector payload does NOT replicate into the 16 band rows: band
+    rows carry only (doc_id, band, bucket); after globally-distinct
+    candidate generation the vectors attach by hash join, shipped once
+    per candidate vertex (`_verify_pairs_by_join`, the minhash pattern).
+    """
+    total_planes = n_bands * planes_per_band
+
+    def feats_fn(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        vecs = np.array(t[vec_col].to_pylist(), dtype=np.float64)
         if n == 0:
             return pa.table({"doc_id": pa.array([], type=t[id_col].type),
-                             "band": pa.array([], type=pa.int32()),
-                             "bucket": pa.array([], type=pa.uint64()),
-                             "vec": pa.array([], type=pa.list_(pa.float64()))})
-        rng = np.random.default_rng(seed)
-        planes = rng.normal(size=(vecs.shape[1], n_planes))
-        bits = (vecs @ planes) > 0  # (n, planes)
-        # two 8-plane bands: near-identical vectors collide in at least one
-        half = n_planes // 2
-        k1 = np.packbits(bits[:, :half], axis=1, bitorder="little")[:, 0].astype(np.uint64)
-        k2 = np.packbits(bits[:, half:], axis=1, bitorder="little")[:, 0].astype(np.uint64)
+                             "vec": pa.array([], type=pa.large_binary())})
+        vecs = np.ascontiguousarray(_as_matrix(t[vec_col]))
         d = vecs.shape[1]
-        both = np.concatenate([vecs, vecs]).reshape(-1)
-        vec_list = pa.ListArray.from_arrays(
-            pa.array(np.arange(0, (2 * n + 1) * d, d, dtype=np.int64)),
-            pa.array(both, type=pa.float64()),
-        )
         return pa.table(
             {
-                "doc_id": t[id_col].take(pa.array(np.tile(np.arange(n), 2))),
-                "band": pa.array(np.repeat(np.arange(2, dtype=np.int32), n)),
-                "bucket": pa.array(np.concatenate([k1, k2]), type=pa.uint64()),
-                "vec": vec_list,
+                "doc_id": t[id_col],
+                "vec": _bin_from_u64(
+                    vecs.reshape(-1).view(np.uint64),
+                    np.arange(0, (n + 1) * d, d, dtype=np.int64),
+                ),
             }
         )
 
-    band_rows = ds.map_batches(buckets, batch_format="pyarrow")
+    def band_fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], type=t[id_col].type),
+                             "band": pa.array([], type=pa.int32()),
+                             "bucket": pa.array([], type=pa.uint64())})
+        vecs = _as_matrix(t[vec_col])
+        rng = np.random.default_rng(seed)
+        planes = rng.normal(size=(vecs.shape[1], total_planes))
+        bits = ((vecs @ planes) > 0).reshape(n, n_bands, planes_per_band)
+        weights = (np.uint64(1) << np.arange(planes_per_band, dtype=np.uint64))
+        keys = (bits.astype(np.uint64) * weights[None, None, :]).sum(axis=2)
+        return pa.table(
+            {
+                "doc_id": t[id_col].take(pa.array(np.repeat(np.arange(n), n_bands))),
+                "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n)),
+                "bucket": pa.array(keys.reshape(-1), type=pa.uint64()),
+            }
+        )
 
-    def verify(pairs: pd.DataFrame) -> pd.DataFrame:
-        a = np.stack([np.asarray(x, dtype=np.float64) for x in pairs["feat_u"]])
-        b = np.stack([np.asarray(x, dtype=np.float64) for x in pairs["feat_v"]])
+    feats = ds.map_batches(feats_fn, batch_format="pyarrow").materialize()
+    band_rows = ds.map_batches(band_fn, batch_format="pyarrow")
+    cand = _candidate_pairs(band_rows, max_bucket=500)
+
+    def verify(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return _empty_edges(t["u"].type)
+        vu, ou = _u64_from_bin(t["vec_u"])
+        vv, _ = _u64_from_bin(t["vec_v"])
+        a = vu.view(np.float64).reshape(n, -1)
+        b = vv.view(np.float64).reshape(n, -1)
         denom = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
         cos = np.where(denom > 0, np.einsum("ij,ij->i", a, b) / np.maximum(denom, 1e-300), 0.0)
-        return pairs.loc[cos >= threshold, ["u", "v"]]
+        return t.select(["u", "v"]).filter(pa.array(cos >= threshold))
 
-    verified = _candidate_pairs_verified(band_rows, "vec", verify, max_bucket=500)
+    verified = _verify_pairs_by_join(cand, feats, "vec", verify)
     return _finalize_components(verified)

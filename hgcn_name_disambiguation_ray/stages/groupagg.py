@@ -142,9 +142,26 @@ def auto_join(
                 self.rdf = ray.get(ref)
                 self.on = on
                 self.how = how
+                # left-merge batches with unmatched rows NaN-fill integer
+                # right columns to float64 while all-matched batches keep
+                # int64 — a per-batch schema mismatch Arrow rejects. Cast
+                # integer right columns up front so every batch agrees
+                # (same failure class asof_join normalizes).
+                self.cast_cols = (
+                    [
+                        c
+                        for c in self.rdf.columns
+                        if c not in on and pd.api.types.is_integer_dtype(self.rdf[c])
+                    ]
+                    if how == "left"
+                    else []
+                )
 
             def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-                return df.merge(self.rdf, on=self.on, how=self.how)
+                out = df.merge(self.rdf, on=self.on, how=self.how)
+                for c in self.cast_cols:
+                    out[c] = out[c].astype(np.float64)
+                return out
 
         return left.map_batches(
             BroadcastMerge, fn_constructor_args=(ref, on, how),

@@ -19,6 +19,32 @@ from ray.data import Dataset
 
 
 def _as_matrix(col) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix, decoded zero-copy from
+    the Arrow offsets/values buffers (r2 finding #9: `to_pylist` built n·d
+    Python floats per batch). Falls back to to_pylist only for ragged or
+    exotic layouts."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    try:
+        if pa.types.is_fixed_size_list(col.type):
+            d = col.type.list_size
+            vals = col.values.to_numpy(zero_copy_only=False)
+            start = col.offset * d
+            return np.asarray(vals[start : start + n * d], dtype=np.float64).reshape(n, d)
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            lens = np.diff(offsets)
+            if len(lens) and (lens == lens[0]).all() and lens[0] > 0:
+                d = int(lens[0])
+                vals = col.values.to_numpy(zero_copy_only=False)
+                return np.asarray(
+                    vals[offsets[0] : offsets[0] + n * d], dtype=np.float64
+                ).reshape(n, d)
+    except (pa.ArrowInvalid, ValueError):
+        pass
     return np.array(col.to_pylist(), dtype=np.float64)
 
 
@@ -141,12 +167,23 @@ class IvfIndex:
                 assign = (m @ self.cents.T).argmax(1).astype(np.int32)
                 return t.append_column("centroid", pa.array(assign))
 
-        os.makedirs(index_dir, exist_ok=True)
+        # build into a temp dir and rename into place: a crashed or
+        # concurrent duplicate build can never leave stale partition rows
+        # beside new ones (duplicated query results / inflated scanned_rows)
+        import shutil
+
+        tmp_dir = index_dir.rstrip("/") + f".tmp-{os.getpid()}"
+        if os.path.exists(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        os.makedirs(tmp_dir)
         ds.map_batches(Assign, fn_constructor_args=(cref, vec_col),
                        batch_format="pyarrow", concurrency=(1, 8)).write_parquet(
-            index_dir, partition_cols=["centroid"]
+            tmp_dir, partition_cols=["centroid"]
         )
-        np.save(os.path.join(index_dir, "_centroids.npy"), cents)
+        np.save(os.path.join(tmp_dir, "_centroids.npy"), cents)
+        if os.path.exists(index_dir):
+            shutil.rmtree(index_dir)
+        os.rename(tmp_dir, index_dir)
         return cls(index_dir, cents, vec_col, id_col)
 
     @classmethod

@@ -166,8 +166,9 @@ def ghac_auto_k_openalex(
     596-683`), guards and all:
 
       * start_k = max(2, components(σ>threshold)), end_k = max(start_k,
-        components(σ)). Because thresholding only ever ADDS components,
-        end_k <= start_k always holds and the reference's ascending
+        components(σ)). Thresholding only ever INCREASES the component
+        count, so components(σ>threshold) >= components(σ), hence
+        end_k == start_k always and the reference's ascending
         `range(start_k, end_k+1)` evaluates exactly ONE k — mirrored
         as-is (a documented reference behaviour, not re-designed).
       * both component counts <= 1  -> k = max(2, min(n_author_ids, 10)),
@@ -188,12 +189,10 @@ def ghac_auto_k_openalex(
 
     if (sim > 0).sum() == 0:  # no edges at all: modularity undefined
         return labels_at_k(n, merges, fallback_k())
-    n_components = len(np.unique(connected_components_dense(sim)))
+    # n_components1 >= n_components (thresholding adds components), so the
+    # reference's range(start_k, end_k+1) always degenerates to [start_k]
     n_components1 = len(np.unique(connected_components_dense(np.where(sim > threshold, sim, 0.0))))
     start_k = max(2, n_components1)
-    end_k = max(start_k, n_components)
-    if end_k <= 1:
-        return labels_at_k(n, merges, fallback_k())
     return labels_at_k(n, merges, min(start_k, n))
 
 

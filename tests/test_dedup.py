@@ -88,6 +88,78 @@ def test_embedding_cosine_dedup(ray_session):
     assert all(len(g) == 2 for g in groups)  # nothing else merged
 
 
+def test_embedding_cosine_dedup_perturbed_recall(ray_session):
+    """r2 defect regression: the 2-band x 8-plane layout missed a genuine
+    cos-0.95 near-dup pair ~33% of the time (only exact clones reached the
+    oracle). Plant PERTURBED pairs with cosine in [0.955, 0.99] — every one
+    must be recovered at the operator's own default threshold, with zero
+    false merges (exact-cosine truth computed brute-force)."""
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.dedup import embedding_cosine_dedup
+
+    rng = np.random.default_rng(17)
+    d = 32
+    base = rng.normal(size=(150, d))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(len(base))]
+    planted = []
+    for j in range(40):  # perturb vectors 0..39 to target cosines
+        c = 0.955 + 0.035 * (j / 39)
+        r = rng.normal(size=d)
+        r -= (r @ base[j]) * base[j]
+        r /= np.linalg.norm(r)
+        w = c * base[j] + np.sqrt(1 - c * c) * r
+        rows.append({"vec_id": 10_000 + j, "embedding": w.tolist()})
+        planted.append((j, 10_000 + j))
+    # exact truth: all pairs with cos >= threshold must co-cluster
+    mat = np.array([r["embedding"] for r in rows])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = np.array([r["vec_id"] for r in rows])
+    cos = mat @ mat.T
+    iu, iv = np.triu_indices(len(ids), k=1)
+    true_pairs = {(int(ids[a]), int(ids[b])) for a, b in zip(iu[cos[iu, iv] >= 0.95], iv[cos[iu, iv] >= 0.95])}
+    assert len(true_pairs) >= 40  # the planted ones at minimum
+
+    out = embedding_cosine_dedup(rd.from_pandas(pd.DataFrame(rows)), threshold=0.95).to_pandas()
+    canon = dict(zip(out["doc_id"], out["canonical_id"]))
+    for u, v in true_pairs:
+        assert canon.get(u) == canon.get(v) and canon.get(u) is not None, (u, v)
+    # precision: members of any output group must be linked through true pairs
+    groups = out.groupby("canonical_id")["doc_id"].apply(list)
+    linked = set()
+    for u, v in true_pairs:
+        linked |= {u, v}
+    for g in groups:
+        assert set(g) <= linked, g
+
+
+def test_oversized_bucket_star_chain_survives_outlier_center():
+    """Verify-aware star-bounding (r2 finding #4): when a bucket exceeds
+    max_bucket and the MIN-ID member is the one non-duplicate, the chain
+    edges keep the true duplicates connected after verification kills
+    every star edge."""
+    from hgcn_name_disambiguation_ray.stages.dedup import _pairs_in_bucket_groups
+
+    ids = np.arange(10)
+    df = pd.DataFrame({"band": 0, "bucket": 7, "doc_id": ids})
+    pairs = _pairs_in_bucket_groups(df, max_bucket=5)
+    # simulate verification: id 0 (the star center) matches nothing
+    kept = pairs[(pairs["u"] != 0) & (pairs["v"] != 0)]
+    # ids 1..9 must remain one connected component through chain edges
+    parent = {i: i for i in ids[1:]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(kept["u"], kept["v"]):
+        parent[find(u)] = find(v)
+    assert len({find(i) for i in ids[1:]}) == 1
+
+
 def test_near_dup_family_planted_30pct_corpus(ray_session):
     """Web-scale shape: ~30% of the corpus is duplicated, so the candidate
     set is O(corpus) — far beyond any broadcast budget. All three text

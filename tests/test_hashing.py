@@ -55,6 +55,55 @@ def test_band_keys_deterministic_and_identical_for_identical_docs():
     assert (k1[0] == k1[1]).all()
 
 
+def test_vectorized_hash_matches_scalar_reference():
+    from hgcn_name_disambiguation_ray.functions.hashing import hash_string_array, poly_hash64
+    import pyarrow as pa
+
+    toks = ["", "a", "ab", "hello", "hellp", "ünïcode✓", "x" * 500, "a\x00b", "\x00"]
+    arr_np = np.array(toks, dtype=object)
+    vec = stable_hash64_array(arr_np)
+    ref = np.array([poly_hash64(t) for t in toks], dtype=np.uint64)
+    assert (vec == ref).all()
+    # Arrow-native entry point, both offset widths, sliced arrays, nulls
+    for typ in (pa.string(), pa.large_string()):
+        arr = pa.array(toks, type=typ)
+        assert (hash_string_array(arr) == ref).all()
+        assert (hash_string_array(arr.slice(2, 5)) == ref[2:7]).all()
+    withnull = pa.array(["a", None, "b"], type=pa.string())
+    got = hash_string_array(withnull)
+    assert got[1] == poly_hash64("")
+
+
+def test_vectorized_hash_distribution():
+    # low bits must be usable as bucket keys
+    big = np.array([f"t{i}" for i in range(200_000)], dtype=object)
+    h = stable_hash64_array(big)
+    assert len(np.unique(h)) == len(big)  # no collisions on 200k distinct
+    counts = np.bincount((h % 64).astype(int), minlength=64)
+    assert counts.min() > 0.8 * len(big) / 64 and counts.max() < 1.2 * len(big) / 64
+
+
+def test_hashed_split_matches_flat_split():
+    import pyarrow as pa
+
+    from hgcn_name_disambiguation_ray.functions.text import split_ws_flat, split_ws_hashed
+
+    col = pa.array(["Hello  World", "", None, "  a b  ", "one", "\t x \n y "])
+    flat, offs = split_ws_flat(col, lower=True)
+    h2, offs2 = split_ws_hashed(col, lower=True)
+    assert (offs == offs2).all()
+    assert (stable_hash64_array(flat) == h2).all()
+
+
+def test_content_hash128_identity_and_width():
+    from hgcn_name_disambiguation_ray.functions.hashing import content_hash128
+
+    hi, lo = content_hash128(np.array(["abc", "abd", "abc", ""], dtype=object))
+    assert hi[0] == hi[2] and lo[0] == lo[2]
+    assert (hi[0], lo[0]) != (hi[1], lo[1])
+    assert hi.dtype == np.uint64 and lo.dtype == np.uint64
+
+
 def test_simhash_similar_docs_close():
     base = [f"w{i}" for i in range(64)]
     d1 = stable_hash64_array(np.array(base, dtype=object))

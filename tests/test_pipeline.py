@@ -81,6 +81,30 @@ def test_checkpoint_resume(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_empty_checkpoint_preserves_schema(tmp_path):
+    """ADVICE r2: a legitimately-empty checkpoint must round-trip the stage
+    SCHEMA (one empty parquet file), so downstream select_columns/groupby
+    behave exactly as with an empty parquet-backed dataset."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.sources.checkpoint import checkpoint_stage
+
+    empty = pa.table(
+        {"block_key": pa.array([], type=pa.string()), "n": pa.array([], type=pa.int64())}
+    )
+    sd = str(tmp_path / "stage")
+    out = checkpoint_stage(lambda: rd.from_arrow(empty), sd, lineage="L1")
+    assert out.count() == 0
+    assert set(out.columns()) == {"block_key", "n"}
+    # resume path reads the same schema back
+    out2 = checkpoint_stage(lambda: (_ for _ in ()).throw(AssertionError("recomputed")), sd, lineage="L1")
+    assert out2.count() == 0
+    assert set(out2.columns()) == {"block_key", "n"}
+    assert out2.select_columns(["block_key"]).count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_write_clusters_partitioned(tmp_path):
     import ray.data as rd
 
