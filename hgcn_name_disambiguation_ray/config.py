@@ -63,6 +63,10 @@ class LinkageConfig:
     minhash_perms: int = 64       # MinHash signature length
     lsh_bands: int = 16           # bands (rows = perms // bands)
     cross_salt_jaccard: float = 0.5  # stemmed-token Jaccard needed to merge across salts
+    # cross-salt merge signals shared by more than this many sub-block
+    # clusters are promiscuous (a web-scale hot key's popular coentity);
+    # they star-bound to min-id edges instead of quadratic pair expansion
+    hot_signal_max_members: int = 256
 
     # ---- execution ----
     extract_batch_size: int = 1024

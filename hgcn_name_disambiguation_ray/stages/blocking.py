@@ -106,6 +106,13 @@ class AssignSalt:
         return batch.append_column("salt", pa.array(salt, type=pa.int32()))
 
 
+# domain-separation constants so coentity signals and LSH-band signals
+# can never collide in the shared uint64 signal space
+_SIG_COENT = np.uint64(0xA5A5_5A5A_DEAD_BEEF)
+_SIG_BAND = np.uint64(0xC3C3_3C3C_1729_1729)
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
 def hot_cluster_roots(
     hot_clusters: Dataset, cfg: LinkageConfig, min_signals: int = 2
 ) -> Dataset:
@@ -114,90 +121,172 @@ def hot_cluster_roots(
     Semantics: two local clusters of the same hot key merge iff they share
     >= `min_signals` distinct merge signals — a coentity (the co-author
     edge signal, Ga) or a MinHash/LSH band over the cluster's stemmed-token
-    union (the ∩>=2-token signal, Gt, at scale) — across DIFFERENT salts;
-    the root is the transitive component's smallest cluster id. A single
-    coincidentally shared signal is not enough, protecting precision under
-    closure. Merges never cross block keys, so the whole computation is
-    ONE groupby(block_key) with vectorized + local union-find inside the
-    group: cluster REPRESENTATIVES only (one row per local cluster, near-
-    deduped per batch before the shuffle), never the member rows.
+    union (the ∩>=2-token signal, Gt, at scale) — with the signal spanning
+    DIFFERENT salts; the root is the transitive component's smallest
+    cluster id. A single coincidentally shared signal is not enough,
+    protecting precision under closure.
+
+    Dataflow (r2 finding #1 fixed: no per-hot-key Ray dispatch, no
+    Python-quadratic signal expansion):
+
+      1. per batch, vectorized: one representative row per local cluster,
+         exploded to (block_key, salt, cluster_id, signal:uint64) rows —
+         coentity hashes + minhash band keys, all from Arrow buffers;
+      2. bucketed shuffle by hash(block_key, signal): per signal group,
+         keep only groups spanning >= 2 salts and expand cluster pairs
+         vectorized (self-merge for small groups; signals with more than
+         `cfg.hot_signal_max_members` members are promiscuous — "published
+         on facebook.com" at web scale — and are star-bounded to min-id
+         edges, a documented recall bound that keeps them linear);
+      3. bucketed count of distinct signals per (u, v); pairs reaching
+         `min_signals` become edges;
+      4. transitive closure via the engine's own connected_components
+         (driver union-find below the gate, distributed star-contraction
+         above) — cluster ids never merge across block keys because every
+         signal carries its block_key through steps 2-3.
     """
+    from hgcn_name_disambiguation_ray.functions.hashing import (
+        _splitmix64,
+        hash_string_array,
+    )
+    from hgcn_name_disambiguation_ray.stages.closure import connected_components
+    from hgcn_name_disambiguation_ray.stages.groupagg import (
+        bucketed_count,
+        bucketed_group_apply,
+    )
+
     a, b = perm_params(cfg.minhash_perms, cfg.seed)
     n_bands = cfg.lsh_bands
+    max_members = getattr(cfg, "hot_signal_max_members", 256)
 
-    def shrink(t: pa.Table) -> pa.Table:
-        df = t.select(
+    def rep_signals(t: pa.Table) -> pa.Table:
+        """One rep row per cluster in the batch -> exploded signal rows."""
+        import pyarrow.compute as pc
+
+        t = t.select(
             ["block_key", "salt", "cluster_id", "cluster_coentities", "cluster_tokens"]
-        ).to_pandas()
-        return pa.Table.from_pandas(
-            df.drop_duplicates("cluster_id"), preserve_index=False
+        )
+        cid = pd.Series(t["cluster_id"].to_pandas())
+        t = t.filter(pa.array((~cid.duplicated()).to_numpy()))
+        n = t.num_rows
+        empty = pa.table(
+            {
+                "block_key": pa.array([], type=pa.string()),
+                "salt": pa.array([], type=pa.int32()),
+                "cluster_id": pa.array([], type=pa.string()),
+                "signal": pa.array([], type=pa.uint64()),
+            }
+        )
+        if n == 0:
+            return empty
+
+        with np.errstate(over="ignore"):
+            # coentity signals: one per (cluster, coentity)
+            ce = t["cluster_coentities"]
+            lens_ce = np.asarray(
+                pc.fill_null(pc.list_value_length(ce), 0).to_pandas(), dtype=np.int64
+            )
+            flat_ce = pc.list_flatten(ce)
+            sig_ce = (
+                _splitmix64(hash_string_array(flat_ce) ^ _SIG_COENT)
+                if len(flat_ce)
+                else np.zeros(0, np.uint64)
+            )
+            rows_ce = np.repeat(np.arange(n), lens_ce)
+
+            # LSH band signals over the cluster's stemmed-token union
+            tok = t["cluster_tokens"]
+            lens_tok = np.asarray(
+                pc.fill_null(pc.list_value_length(tok), 0).to_pandas(), dtype=np.int64
+            )
+            flat_tok = pc.list_flatten(tok)
+            th = hash_string_array(flat_tok) if len(flat_tok) else np.zeros(0, np.uint64)
+            toffs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens_tok, out=toffs[1:])
+            sigs = minhash_signatures_flat(th, toffs, a, b)
+            bands = band_keys(sigs, n_bands)  # (n, n_bands)
+            nonempty = lens_tok > 0  # empty token unions carry no band signal
+            band_mix = (np.arange(n_bands, dtype=np.uint64) + np.uint64(1)) * _MIX
+            sig_band = _splitmix64(
+                (bands[nonempty] ^ band_mix[None, :] ^ _SIG_BAND).reshape(-1)
+            )
+            rows_band = np.repeat(np.arange(n)[nonempty], n_bands)
+
+        rows = np.concatenate([rows_ce, rows_band])
+        sig = np.concatenate([sig_ce, sig_band])
+        idx = pa.array(rows)
+        return pa.table(
+            {
+                "block_key": t["block_key"].take(idx),
+                "salt": t["salt"].take(idx),
+                "cluster_id": t["cluster_id"].take(idx),
+                "signal": pa.array(sig, type=pa.uint64()),
+            }
         )
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+    sig_rows = hot_clusters.map_batches(rep_signals, batch_format="pyarrow")
+    gkeys = ["block_key", "signal"]
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
-            {"cluster_id": pd.Series(dtype=object), "root": pd.Series(dtype=object)}
+            {
+                "block_key": pd.Series(dtype=object),
+                "u": pd.Series(dtype=object),
+                "v": pd.Series(dtype=object),
+            }
         )
-        reps = g.drop_duplicates("cluster_id")
-        if reps["salt"].nunique() <= 1 or len(reps) <= 1:
+        # a cluster's rep rows may recur across batches: distinct first
+        df = df.drop_duplicates(["block_key", "signal", "cluster_id"])
+        sizes = df.groupby(gkeys, sort=False)["cluster_id"].transform("size")
+        df = df[sizes >= 2]
+        if df.empty:
             return empty
-        cids = reps["cluster_id"].tolist()
-        salts = reps["salt"].tolist()
-        coents = reps["cluster_coentities"].tolist()
-        toks = reps["cluster_tokens"].tolist()
-        # signal -> list of (cluster index); coentity signals + LSH bands
-        flat: list[str] = []
-        offsets = [0]
-        for t in toks:
-            flat.extend(t if t is not None else [])
-            offsets.append(len(flat))
-        th = stable_hash64_array(np.asarray(flat, dtype=object)) if flat else np.zeros(0, np.uint64)
-        sigs = minhash_signatures_flat(th, np.asarray(offsets), a, b)
-        bands = band_keys(sigs, n_bands)
-        signal_members: dict[str, list[int]] = {}
-        for i in range(len(cids)):
-            for e in coents[i] if coents[i] is not None else []:
-                signal_members.setdefault(f"a:{e}", []).append(i)
-            if toks[i] is not None and len(toks[i]):
-                for bidx in range(n_bands):
-                    signal_members.setdefault(f"t:{bidx}:{bands[i, bidx]:016x}", []).append(i)
-        pair_signals: dict[tuple[int, int], int] = {}
-        for members in signal_members.values():
-            if len(members) < 2:
-                continue
-            if len({salts[i] for i in members}) <= 1:
-                continue  # signal collides within one salt only: no merge info
-            for x in range(len(members)):
-                for y in range(x + 1, len(members)):
-                    p = (members[x], members[y]) if members[x] < members[y] else (members[y], members[x])
-                    pair_signals[p] = pair_signals.get(p, 0) + 1
-        parent = list(range(len(cids)))
-
-        def find(x: int) -> int:
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for (u, v), cnt in pair_signals.items():
-            if cnt >= min_signals:
-                ru, rv = find(u), find(v)
-                if ru != rv:
-                    parent[max(ru, rv)] = min(ru, rv)
-        comp: dict[int, list[int]] = {}
-        for i in range(len(cids)):
-            comp.setdefault(find(i), []).append(i)
-        out_c, out_r = [], []
-        for members in comp.values():
-            if len(members) < 2:
-                continue
-            root = min(cids[i] for i in members)
-            for i in members:
-                if cids[i] != root:
-                    out_c.append(cids[i])
-                    out_r.append(root)
-        if not out_c:
+        # signal must span >= 2 salts to carry cross-salt merge information
+        nun = df.groupby(gkeys, sort=False)["salt"].transform("nunique")
+        df = df[nun >= 2]
+        if df.empty:
             return empty
-        return pd.DataFrame({"cluster_id": out_c, "root": out_r})
+        sizes = df.groupby(gkeys, sort=False)["cluster_id"].transform("size")
+        outs = []
+        small = df[sizes <= max_members]
+        if len(small):
+            m = small[gkeys + ["cluster_id"]].merge(small[gkeys + ["cluster_id"]], on=gkeys)
+            m = m[m["cluster_id_x"] < m["cluster_id_y"]]
+            outs.append(
+                pd.DataFrame(
+                    {"block_key": m["block_key"], "u": m["cluster_id_x"], "v": m["cluster_id_y"]}
+                )
+            )
+        large = df[sizes > max_members]
+        if len(large):
+            root = large.groupby(gkeys, sort=False)["cluster_id"].transform("min")
+            rest = large["cluster_id"] != root
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "block_key": large.loc[rest, "block_key"],
+                        "u": root[rest],
+                        "v": large.loc[rest, "cluster_id"],
+                    }
+                )
+            )
+        outs = [o for o in outs if len(o)]
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
-    reps = hot_clusters.map_batches(shrink, batch_format="pyarrow")
-    return reps.groupby("block_key").map_groups(per_key, batch_format="pandas")
+    pairs = bucketed_group_apply(sig_rows, gkeys, expand, n_buckets=64)
+    counted = bucketed_count(pairs, ["block_key", "u", "v"], out_col="n_signals")
+
+    def threshold(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.greater_equal(t["n_signals"], min_signals)
+        return t.filter(keep).select(["u", "v"])
+
+    edges = counted.map_batches(threshold, batch_format="pyarrow")
+    comps = connected_components(edges)
+
+    def to_roots(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"cluster_id": df["mention_id"], "root": df["component"]})
+        return out[out["cluster_id"] != out["root"]]
+
+    return comps.map_batches(to_roots, batch_format="pandas")
