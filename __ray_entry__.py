@@ -168,29 +168,41 @@ def _q_cooccur_pairs(sf_dir: str):
         bucketed_group_apply,
     )
 
+    from hgcn_name_disambiguation_ray.stages.groupagg import bucketed_sum
+
     ds = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderdate", "o_custkey"]
     )
 
+    # per-batch distinct partial BEFORE the shuffle: duplicate
+    # (date, custkey) rows (a customer ordering twice in a day) never
+    # leave their batch
+    ds = ds.map_batches(
+        lambda df: df.drop_duplicates(["o_orderdate", "o_custkey"]),
+        batch_format="pandas",
+    )
+
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        # one bucket partition holds many complete date groups
-        out_i, out_j = [], []
-        for _, g in df.groupby("o_orderdate", sort=False):
-            ids = np.sort(g["o_custkey"].unique())
-            if len(ids) < 2:
-                continue
-            iu, iv = np.triu_indices(len(ids), k=1)
-            out_i.append(ids[iu])
-            out_j.append(ids[iv])
-        if not out_i:
+        # one bucket partition holds many complete date groups. Pair
+        # expansion is a vectorized self-merge per date (no Python loop
+        # over groups), and the bucket emits PRE-COUNTED partials —
+        # pairs recurring across dates within the bucket collapse here,
+        # shrinking the second shuffle.
+        df = df.drop_duplicates(["o_orderdate", "o_custkey"])
+        dup = df.duplicated("o_orderdate", keep=False)
+        df = df[dup]
+        if df.empty:
             return pd.DataFrame({"custkey_i": pd.Series(dtype=np.int64),
-                                 "custkey_j": pd.Series(dtype=np.int64)})
-        return pd.DataFrame(
-            {"custkey_i": np.concatenate(out_i), "custkey_j": np.concatenate(out_j)}
-        )
+                                 "custkey_j": pd.Series(dtype=np.int64),
+                                 "n_shared": pd.Series(dtype=np.int64)})
+        m = df.merge(df, on="o_orderdate")
+        m = m[m["o_custkey_x"] < m["o_custkey_y"]]
+        out = m.groupby(["o_custkey_x", "o_custkey_y"], as_index=False, sort=False).size()
+        out.columns = ["custkey_i", "custkey_j", "n_shared"]
+        return out
 
     p = bucketed_group_apply(ds, ["o_orderdate"], pairs, n_buckets=64)
-    return bucketed_count(p, ["custkey_i", "custkey_j"], out_col="n_shared", n_buckets=64)
+    return bucketed_sum(p, ["custkey_i", "custkey_j"], ["n_shared"], n_buckets=64)
 
 
 def _q_blocking_keys(sf_dir: str):
@@ -485,7 +497,26 @@ def _q_ivf_topk(sf_dir: str):
             os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
         )
         idx = IvfIndex.build(ds, index_dir, n_centroids=16)
-    return idx.query(_fetch_query_vector(sf_dir, 0)[None, :], k=10, nprobe=4)
+    q = _fetch_query_vector(sf_dir, 0)[None, :]
+    approx = idx.query(q, k=10, nprobe=4).to_pandas()
+    # hard signal (r2 next-step #7): recall vs exact brute force rides as
+    # an integral column and is PINNED — the query raises if the IVF probe
+    # ever drops below the floor, so a silent quality regression fails the
+    # driver run instead of passing rows-only
+    from hgcn_name_disambiguation_ray.stages.similarity import brute_force_topk
+
+    exact = brute_force_topk(
+        rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        ),
+        q,
+        k=10,
+    ).to_pandas()
+    hits = len(set(approx["vec_id"]) & set(exact["vec_id"]))
+    recall_pct = (100 * hits) // max(1, len(exact))
+    assert recall_pct >= 60, f"IVF recall {recall_pct}% < 60% floor at nprobe=4/16"
+    approx["recall_pct"] = np.int64(recall_pct)
+    return approx
 
 
 def _q_cust_nation_join(sf_dir: str):
@@ -906,22 +937,34 @@ def _q_union_names(sf_dir: str):
 
 def _q_majority_assignment(sf_dir: str):
     """J4/J5: cluster -> person-id majority assignment with uniqueness +
-    singleton fill, over the fixture clusters joined with truth."""
-    import pyarrow.parquet as pq
+    singleton fill (SURVEY D4), over a DETERMINISTIC labeled table derived
+    from the customer table by modular arithmetic — SQL-replicable, so
+    this query carries a full hash-exact oracle (r2 next-step #7; it was
+    rows-only before). By construction each person belongs to exactly one
+    cluster, so the greedy's claim order never contends and the oracle's
+    per-cluster argmax is exact; the CONTENDED greedy path stays covered
+    by tests/test_evaluate.py::test_majority_assignment. Persons that are
+    never any cluster's majority fall through to singleton fill."""
     import ray.data as rd
 
-    from hgcn_name_disambiguation_ray.config import LinkageConfig
-    from hgcn_name_disambiguation_ray.pipelines.linkage import (
-        clusters_with_truth,
-        run_linkage,
-    )
     from hgcn_name_disambiguation_ray.stages.evaluate import majority_assignment
 
-    fdir = _fixture_pages_dir()
-    pages = rd.read_parquet(os.path.join(fdir, "pages.parquet"))
-    clusters = run_linkage(pages, LinkageConfig())
-    truth = pq.read_table(os.path.join(fdir, "truth.parquet"))
-    labeled = clusters_with_truth(clusters, truth)
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
+
+    def to_labeled(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["c_custkey"].to_pandas(), dtype=np.int64)
+        cluster = k % 40
+        minority = (k // 40) % 4 == 0
+        person = np.where(minority, cluster + 40, cluster)
+        return pa.table(
+            {
+                "block_key": pa.array([f"b{v}" for v in (k % 2)], type=pa.string()),
+                "cluster_id": pa.array([f"c{v}" for v in cluster], type=pa.string()),
+                "person_id": pa.array([f"p{v}" for v in person], type=pa.string()),
+            }
+        )
+
+    labeled = cust.map_batches(to_labeled, batch_format="pyarrow")
     return majority_assignment(labeled).to_pandas().sort_values(
         ["block_key", "person_id"]
     ).reset_index(drop=True)
@@ -1185,6 +1228,33 @@ def oracle_sql() -> dict[str, str]:
         "segment_orders": (
             "SELECT c_mktsegment, count(*) AS n_orders FROM orders "
             "JOIN customer ON o_custkey = c_custkey GROUP BY 1"
+        ),
+        # deterministic labeled table from customer (same arithmetic as the
+        # Ray query); persons are cluster-exclusive by construction, so the
+        # greedy assignment == per-cluster argmax and is SQL-expressible;
+        # unclaimed persons fill singletons in sorted order per block
+        "majority_assignment": (
+            "WITH lab AS (SELECT 'b' || CAST(c_custkey % 2 AS VARCHAR) AS block_key, "
+            "'c' || CAST(c_custkey % 40 AS VARCHAR) AS cluster_id, "
+            "CASE WHEN (c_custkey // 40) % 4 = 0 "
+            "THEN 'p' || CAST(c_custkey % 40 + 40 AS VARCHAR) "
+            "ELSE 'p' || CAST(c_custkey % 40 AS VARCHAR) END AS person_id FROM customer), "
+            "counts AS (SELECT block_key, cluster_id, person_id, count(*) AS n "
+            "FROM lab GROUP BY 1, 2, 3), "
+            "major AS (SELECT block_key, cluster_id, person_id, "
+            "row_number() OVER (PARTITION BY block_key, cluster_id "
+            "ORDER BY n DESC, person_id) AS rn FROM counts), "
+            "assigned AS (SELECT block_key, person_id, cluster_id AS assigned_cluster "
+            "FROM major WHERE rn = 1), "
+            "leftover AS (SELECT l.block_key, l.person_id FROM "
+            "(SELECT DISTINCT block_key, person_id FROM lab) l "
+            "LEFT JOIN assigned a ON a.block_key = l.block_key "
+            "AND a.person_id = l.person_id WHERE a.person_id IS NULL), "
+            "singles AS (SELECT block_key, person_id, '__singleton_' || "
+            "CAST(row_number() OVER (PARTITION BY block_key ORDER BY person_id) - 1 "
+            "AS VARCHAR) AS assigned_cluster FROM leftover) "
+            "SELECT * FROM assigned UNION ALL SELECT * FROM singles "
+            "ORDER BY block_key, person_id"
         ),
         "union_names": (
             "SELECT nationkey, count(*) AS n_parties FROM ("

@@ -28,8 +28,14 @@ def _u8_list(rows: list[np.ndarray]) -> pa.ListArray:
 
 
 def _flat_pixels(col: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
-    """list<uint8> column -> (flat numpy values, offsets) zero-copy-ish."""
+    """list<uint8> / fixed_size_list<uint8> column -> (flat values, offsets)."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_fixed_size_list(arr.type):
+        d = arr.type.list_size
+        vals = arr.values.to_numpy(zero_copy_only=False).astype(np.uint8)
+        base = arr.offset * d
+        offsets = np.arange(0, (len(arr) + 1) * d, d, dtype=np.int64)
+        return vals[base : base + len(arr) * d], offsets
     offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     flat = arr.values.to_numpy(zero_copy_only=False).astype(np.uint8)
     base = offsets[0]
@@ -111,14 +117,15 @@ class ResizeImage:
             yi = (np.arange(self.out_h) * h // self.out_h).astype(np.int64)
             xi = (np.arange(self.out_w) * w // self.out_w).astype(np.int64)
             out[i * stride : (i + 1) * stride] = img[yi][:, xi].reshape(-1)
-        new_off = np.arange(0, (n + 1) * stride, stride, dtype=np.int64)
+        # post-resize rows share one constant shape: FixedSizeList lets every
+        # downstream batch reshape (n, h*w*c) zero-copy, no offsets walk
         return pa.table(
             {
                 "item_id": t["item_id"],
                 "width": pa.array([self.out_w] * n, type=pa.int32()),
                 "height": pa.array([self.out_h] * n, type=pa.int32()),
-                "pixels": pa.ListArray.from_arrays(
-                    pa.array(new_off), pa.array(out, type=pa.uint8())
+                "pixels": pa.FixedSizeListArray.from_arrays(
+                    pa.array(out, type=pa.uint8()), stride
                 ),
             }
         )
@@ -147,9 +154,8 @@ class ImageFeatures:
         return pa.table(
             {
                 "item_id": t["item_id"],
-                "features": pa.ListArray.from_arrays(
-                    pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int64)),
-                    pa.array(feats.reshape(-1), type=pa.float64()),
+                "features": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.reshape(-1), type=pa.float64()), d
                 ),
             }
         )
