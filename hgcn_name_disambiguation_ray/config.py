@@ -56,6 +56,24 @@ class LinkageConfig:
     # needs strong external token vectors to avoid collapse)
     sim_mask: str = "graph"
     min_shared_tokens: int = 2    # co-title edge rule |stemmed ∩| >= 2 (reference :422)
+    # ---- artifact-regime cross-component merging (state/hac.py ghac_hybrid) ----
+    # "none" = the faithful graph-masked GHAC above; "title" = hybrid
+    # similarity that can merge across graph components like the
+    # reference's committed artifacts: within-edge σ-sim shifted above
+    # every cross pair, cross pairs scored by idf-weighted title-vector
+    # cosine (+ 2-hop coauthor bonus), adaptive dendrogram cut. Needs
+    # `word2vec_path` pointing at corpus-trained vectors (state/wordvec.py).
+    cross_merge: str = "none"
+    cross_shift: float = 2.0      # within-edge sim offset (dominates cross sims)
+    cross_hop2_beta: float = 0.5  # bonus for 2-hop coauthor-linked cross pairs
+    # adaptive cut tau = clip(a - b*edge_density - c*mean_cross_sim, lo, hi);
+    # fitted on Arnetminer with a held-out split (BASELINE.md round 3)
+    cross_tau_rule: tuple[float, float, float, float, float] = (0.9, 0.45, 1.2, 0.35, 0.75)
+    # extended-coauthor derivation (stages/coent.py): names with more
+    # than this many distinct collaborators are hubs with no
+    # discriminative 2-hop signal — their neighbor sets are dropped
+    coent_degree_cap: int = 200
+    coent_ext_max: int = 4096     # per-mention extended-set size cap (sorted prefix)
 
     # ---- blocking / skew (new, scale design) ----
     salt_cap: int = 512           # max mentions per (block_key, salt) sub-block;

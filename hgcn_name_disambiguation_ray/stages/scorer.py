@@ -31,7 +31,7 @@ import pyarrow as pa
 from hgcn_name_disambiguation_ray.config import LinkageConfig
 from hgcn_name_disambiguation_ray.state.embedder import HashEmbedder
 from hgcn_name_disambiguation_ray.state.gcn import BlockEncoder
-from hgcn_name_disambiguation_ray.state.hac import ghac_cluster
+from hgcn_name_disambiguation_ray.state.hac import ghac_cluster, ghac_hybrid
 from hgcn_name_disambiguation_ray.state.walks import metapath_walks
 
 
@@ -87,6 +87,42 @@ def build_block_graphs(
     return [wa, wt, wv, wa + wt + wv]
 
 
+def _bitset(sets: list[set], index: dict[str, int]) -> np.ndarray:
+    """(n, ceil(|index|/64)) uint64 bit matrix of each set ∩ index."""
+    n = len(sets)
+    words = max(1, (len(index) + 63) // 64)
+    out = np.zeros((n, words), dtype=np.uint64)
+    for i, s in enumerate(sets):
+        for e in s:
+            b = index.get(e)
+            if b is not None:
+                out[i, b >> 6] |= np.uint64(1) << np.uint64(b & 63)
+    return out
+
+
+def hop2_matrix(coentities: list[list[str]], exts: list[list[str]]) -> np.ndarray:
+    """Dense 0/1 matrix: hop2[i,j] = 1 iff ext_i ∩ ce_j or ce_i ∩ ext_j.
+
+    Only entities appearing in some mention's DIRECT coentity set can
+    intersect, so bits are allocated over that universe and the pairwise
+    any-common-bit test runs as packed uint64 ANDs (n rows × n×W words,
+    no Python pair loop)."""
+    n = len(coentities)
+    ce_sets = [set(c) for c in coentities]
+    index: dict[str, int] = {}
+    for s in ce_sets:
+        for e in s:
+            index.setdefault(e, len(index))
+    C = _bitset(ce_sets, index)
+    E = _bitset([set(x) for x in exts], index)
+    m = np.zeros((n, n), dtype=bool)
+    for i in range(n):
+        m[i] = np.bitwise_and(C, E[i]).any(axis=1)
+    out = (m | m.T).astype(np.float64)
+    np.fill_diagonal(out, 0.0)
+    return out
+
+
 class BlockScorer:
     """Callable-class stage: one Arrow group table in, cluster rows out."""
 
@@ -119,11 +155,16 @@ class BlockScorer:
         toks_st = [list(cols["tokens_stemmed"][i] or []) for i in order]
         toks_raw = [list(cols["tokens"][i] or []) for i in order]
         hosts = [cols["host"][i] for i in order]
+        ext_raw = cols.get("coentities_ext")
+        exts = (
+            [list(ext_raw[i] or []) for i in order] if ext_raw is not None else None
+        )
         bkey = cols["block_key"][0]
         salt = int(cols.get("salt", [0])[0] or 0)
 
         labels = self.score_block(bkey, salt, mids, coents, toks_st, toks_raw, hosts,
-                                  n_clusters=self._k(cols, order))
+                                  n_clusters=self._k(cols, order),
+                                  coentities_ext=exts)
         n = len(mids)
         # cluster-level merge signatures (used only when the block was
         # salted): distinct coentities and the stemmed-token union per
@@ -173,6 +214,7 @@ class BlockScorer:
         tokens_raw: list[list[str]],
         hosts: list[str],
         n_clusters: int = -1,
+        coentities_ext: list[list[str]] | None = None,
     ) -> np.ndarray:
         """Pure block scorer: returns int cluster labels aligned to inputs."""
         cfg = self.cfg
@@ -180,12 +222,27 @@ class BlockScorer:
         if n == 1:
             return np.zeros(1, dtype=np.int64)
         layers = build_block_graphs(coentities, tokens_stemmed, hosts, cfg.min_shared_tokens)
-        feats = self.embedder.features(tokens_raw)
+        hybrid = cfg.cross_merge == "title" and n_clusters <= 0
+        # the artifact regime skips OOV tokens in the encoder features
+        # (dilution with zeros is the reference's standard-mode fallback,
+        # kept for the faithful path)
+        feats = (
+            self.embedder.invocab_features(tokens_raw)
+            if hybrid
+            else self.embedder.features(tokens_raw)
+        )
         seed = block_seed(block_key, salt, cfg.seed)
         rng = np.random.default_rng(seed)
         u_i, u_j, lab = metapath_walks(layers, cfg, rng)
         encoder = BlockEncoder(cfg, seed ^ 0x5A5A5A5A)
         embed = encoder.fit_embed(layers[:3], feats, u_i, u_j, lab)
+        if hybrid:
+            tv = self.embedder.weighted_features(tokens_raw)
+            hop2 = hop2_matrix(coentities, coentities_ext or coentities)
+            return ghac_hybrid(embed, layers[-1], tv, hop2,
+                               shift=cfg.cross_shift,
+                               hop2_beta=cfg.cross_hop2_beta,
+                               tau_rule=cfg.cross_tau_rule)
         return ghac_cluster(embed, layers[-1], n_clusters=n_clusters,
                             threshold=cfg.ghac_threshold,
                             modularity_on=cfg.modularity_on,

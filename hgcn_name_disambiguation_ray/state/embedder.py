@@ -46,14 +46,25 @@ class HashEmbedder:
 
     def __init__(self, dim: int = 100, seed: int = 0, cache_max: int = 1 << 20,
                  model_path: str | None = None):
+        import os
+
         self.dim = dim
         self.seed = seed
         self._cache: dict[str, np.ndarray] = {}
         self._cache_max = cache_max
         self._model: dict[str, np.ndarray] | None = None
+        self._idf: dict[str, float] = {}
         if model_path is not None:
             self._model, model_dim = load_word2vec_text(model_path)
             self.dim = model_dim
+            # idf sidecar written by state/wordvec.py train_word_vectors
+            idf_path = model_path + ".idf"
+            if os.path.exists(idf_path):
+                with open(idf_path, encoding="utf-8") as f:
+                    for line in f:
+                        parts = line.rsplit(" ", 1)
+                        if len(parts) == 2:
+                            self._idf[parts[0]] = float(parts[1])
 
     def token_vector(self, token: str) -> np.ndarray:
         if self._model is not None:
@@ -76,3 +87,43 @@ class HashEmbedder:
 
     def features(self, token_lists: list[list[str]]) -> np.ndarray:
         return np.stack([self.mean_vector(t) for t in token_lists]) if token_lists else np.zeros((0, self.dim))
+
+    def invocab_features(self, token_lists: list[list[str]]) -> np.ndarray:
+        """Mean over IN-VOCAB token vectors only (OOV tokens skipped
+        rather than diluting the mean with zeros); zeros when no token is
+        in vocabulary. The encoder-feature variant of the artifact-regime
+        GHAC. Without a model this equals `features`."""
+        if self._model is None:
+            return self.features(token_lists)
+        out = np.zeros((len(token_lists), self.dim))
+        for i, toks in enumerate(token_lists):
+            vs = [self._model[t] for t in toks if t in self._model]
+            if vs:
+                out[i] = np.mean(vs, axis=0)
+        return out
+
+    def weighted_features(self, token_lists: list[list[str]]) -> np.ndarray:
+        """Idf-weighted mean of L2-NORMALIZED in-vocab token vectors —
+        the cross-component title representation of the artifact-regime
+        GHAC (downweights promiscuous words, equalizes token norms).
+        Tokens without a model vector are skipped; all-OOV rows are
+        zeros. Falls back to `features` when no idf sidecar is loaded."""
+        if not self._idf or self._model is None:
+            return self.features(token_lists)
+        out = np.zeros((len(token_lists), self.dim))
+        for i, toks in enumerate(token_lists):
+            acc = np.zeros(self.dim)
+            wsum = 0.0
+            for t in toks:
+                v = self._model.get(t)
+                if v is None:
+                    continue
+                nv = np.linalg.norm(v)
+                if nv <= 0:
+                    continue
+                w = self._idf.get(t, 1.0)
+                acc += (v / nv) * w
+                wsum += w
+            if wsum > 0:
+                out[i] = acc / wsum
+        return out

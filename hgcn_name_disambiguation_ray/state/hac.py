@@ -60,24 +60,30 @@ def connected_components_dense(adj: np.ndarray) -> np.ndarray:
     return labels
 
 
-def average_linkage_merges(distance: np.ndarray) -> list[tuple[int, int]]:
+def average_linkage_merges_with_dist(
+    distance: np.ndarray,
+) -> tuple[list[tuple[int, int]], np.ndarray]:
     """Full merge sequence of average-linkage HAC on a precomputed
-    distance matrix. Returns (n-1) merges as (cluster_a, cluster_b) over
-    an index space where cluster ids are original points; after a merge
-    the smaller index survives. Deterministic tie-break by (i, j)."""
+    distance matrix, plus the merge distance of each step (monotone
+    non-decreasing for average linkage). Returns ((n-1) merges as
+    (cluster_a, cluster_b) over an index space where cluster ids are
+    original points; after a merge the smaller index survives), with
+    deterministic tie-break by (i, j)."""
     n = distance.shape[0]
     D = distance.astype(np.float64).copy()
     np.fill_diagonal(D, np.inf)
     active = np.ones(n, dtype=bool)
     size = np.ones(n, dtype=np.int64)
     merges: list[tuple[int, int]] = []
-    for _ in range(n - 1):
+    mdist = np.empty(max(0, n - 1), dtype=np.float64)
+    for t in range(n - 1):
         sub = np.where(active)[0]
         block = D[np.ix_(sub, sub)]
         flat = np.argmin(block)
         a_, b_ = divmod(int(flat), len(sub))
         i, j = int(sub[min(a_, b_)]), int(sub[max(a_, b_)])
         merges.append((i, j))
+        mdist[t] = D[i, j]
         # Lance-Williams average update into i
         ni, nj = size[i], size[j]
         newd = (ni * D[i] + nj * D[j]) / (ni + nj)
@@ -88,7 +94,12 @@ def average_linkage_merges(distance: np.ndarray) -> list[tuple[int, int]]:
         D[:, j] = np.inf
         size[i] = ni + nj
         active[j] = False
-    return merges
+    return merges, mdist
+
+
+def average_linkage_merges(distance: np.ndarray) -> list[tuple[int, int]]:
+    """Merge sequence only (see `average_linkage_merges_with_dist`)."""
+    return average_linkage_merges_with_dist(distance)[0]
 
 
 def labels_at_k(n: int, merges: list[tuple[int, int]], k: int) -> np.ndarray:
@@ -194,6 +205,69 @@ def ghac_auto_k_openalex(
     n_components1 = len(np.unique(connected_components_dense(np.where(sim > threshold, sim, 0.0))))
     start_k = max(2, n_components1)
     return labels_at_k(n, merges, min(start_k, n))
+
+
+def ghac_hybrid(
+    embed: np.ndarray,
+    combined: np.ndarray,
+    title_vecs: np.ndarray,
+    hop2: np.ndarray,
+    shift: float = 2.0,
+    hop2_beta: float = 0.5,
+    tau_rule: tuple[float, float, float, float, float] = (0.9, 0.45, 1.2, 0.35, 0.75),
+) -> np.ndarray:
+    """Artifact-regime GHAC: hybrid similarity + adaptive dendrogram cut.
+
+    The reference's COMMITTED cluster artifacts (macro pairwise F1 0.892,
+    `experimental-results/*_output.txt`) come from the ORIGINAL unmasked-
+    similarity HGCN regime powered by an external word2vec model missing
+    from its repo — they merge across graph components, which the current
+    graph-masked code (`name_disambiguation.py:61-108`, our
+    `ghac_cluster`) cannot do. This is the engine's re-creation of that
+    regime with in-engine-trained corpus vectors (state/wordvec.py),
+    tuned on the corpus with held-out validation (BASELINE.md):
+
+      * within graph edges: sim = shift + σ(⟨h_i, h_j⟩) — graph-connected
+        pairs always merge before any cross-component pair (shift > 1
+        dominates every cross similarity);
+      * across components:  sim = cos(title_i, title_j) + hop2_beta ·
+        1[2-hop coauthor link], where title vectors are idf-weighted
+        means of L2-normalized corpus word vectors
+        (HashEmbedder.weighted_features) and hop2 marks pairs whose
+        extended coauthor sets intersect (stages/coent.py);
+      * average linkage on distance = -sim; the monotone merge-distance
+        sequence is cut at the first merge weaker than an adaptive
+        threshold τ = clip(a − b·edge_density − c·mean_cross_sim, lo, hi)
+        (tau_rule = (a, b, c, lo, hi)): dense blocks (one prolific
+        person) and high ambient cross similarity (promiscuous titles)
+        both lower the bar for stopping early.
+    """
+    n = embed.shape[0]
+    if n <= 1:
+        return np.zeros(n, dtype=np.int64)
+    masked = sigmoid_similarity_matrix(embed, combined)
+    edge = combined > 0
+    np.fill_diagonal(edge, False)
+
+    nrm = np.linalg.norm(title_vecs, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    tv = title_vecs / nrm
+    cos = tv @ tv.T
+    np.fill_diagonal(cos, 0.0)
+
+    cross = cos + hop2_beta * (hop2 > 0)
+    sim = np.where(edge, shift + masked, cross)
+    merges, mdist = average_linkage_merges_with_dist(-sim)
+
+    iu, iv = np.triu_indices(n, k=1)
+    noedge = ~edge[iu, iv]
+    dens = float(edge.sum()) / max(1, n * (n - 1))
+    mean_cross = float(cross[iu, iv][noedge].mean()) if noedge.any() else 0.0
+    a, b, c, lo, hi = tau_rule
+    tau = float(np.clip(a - b * dens - c * mean_cross, lo, hi))
+    # mdist is monotone non-decreasing: apply every merge at sim >= tau
+    stop = int(np.searchsorted(mdist > -tau, True))
+    return labels_at_k(n, merges, max(1, n - stop))
 
 
 def ghac_cluster(

@@ -45,3 +45,31 @@ def test_arnetminer_macro_f1_floor(ray_session):
     assert macro["f1"] >= 0.55, macro
     # per-name coverage: every one of the 110 names must be scored
     assert len(scores) == 111  # 110 names + __macro__
+
+
+@pytest.mark.skipif(not os.path.isdir(RAW), reason="reference corpus not present")
+def test_arnetminer_artifact_regime_floor(ray_session, tmp_path):
+    """The artifact regime (run_linkage_artifact: in-engine PPMI-SVD word
+    vectors + unmasked cross-component ghac_hybrid) must beat the
+    faithful default by a wide margin — it re-creates the regime behind
+    the reference's committed artifacts (0.892 with an external model the
+    reference repo doesn't ship). Measured 2026-08: macro F1 ~0.76; the
+    floor sits under it to catch regressions, well above the faithful
+    path's 0.609."""
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.pipelines.linkage import (
+        clusters_with_truth,
+        run_linkage_artifact,
+    )
+    from hgcn_name_disambiguation_ray.sources.arnetminer import arnetminer_tables
+    from hgcn_name_disambiguation_ray.stages.evaluate import pairwise_scores
+
+    pages, truth = arnetminer_tables(RAW)
+    clusters = run_linkage_artifact(
+        rd.from_arrow(pages), model_path=str(tmp_path / "w2v.txt")
+    )
+    scores = pairwise_scores(clusters_with_truth(clusters, truth))
+    macro = scores[scores["block_key"] == "__macro__"].iloc[0]
+    assert macro["f1"] >= 0.72, macro
+    assert len(scores) == 111

@@ -1,0 +1,131 @@
+"""In-engine PPMI-SVD word vectors + artifact-regime hybrid GHAC."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_train_word_vectors_roundtrip(tmp_path):
+    """Co-occurring tokens land closer than non-co-occurring ones, the
+    text model + idf sidecar round-trip through HashEmbedder, and the
+    distributed counting matches a driver PPMI oracle for vocab/df."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.state.embedder import HashEmbedder
+    from hgcn_name_disambiguation_ray.state.wordvec import (
+        train_word_vectors,
+        vocab_doc_freq,
+    )
+
+    rng = np.random.default_rng(2)
+    # two disjoint topic clusters + shared filler: within-topic tokens
+    # co-occur, cross-topic never
+    topics = [["alpha", "beta", "gamma", "delta"], ["red", "green", "blue", "cyan"]]
+    docs = []
+    for _ in range(400):
+        t = topics[int(rng.integers(0, 2))]
+        k = int(rng.integers(2, 5))
+        docs.append(list(rng.choice(t, size=k, replace=False)) + ["filler"])
+    ds = rd.from_arrow(pa.table({"tokens": pa.array(docs, type=pa.list_(pa.string()))}))
+
+    vocab_df, n_docs = vocab_doc_freq(ds, "tokens", max_vocab=100)
+    assert n_docs == 400
+    dfm = dict(zip(vocab_df["token"], vocab_df["df"]))
+    assert dfm["filler"] == 400
+    want_df = {}
+    for d in docs:
+        for t in set(d):
+            want_df[t] = want_df.get(t, 0) + 1
+    assert dfm == want_df
+
+    path = str(tmp_path / "w2v.txt")
+    # dim caps at the vocab rank (9 tokens here): ask for 8
+    train_word_vectors(ds, path, tokens_col="tokens", dim=8, max_vocab=100)
+    emb = HashEmbedder(model_path=path)
+    assert emb.dim == 8 and emb._idf  # sidecar loaded
+
+    def cos(a, b):
+        va, vb = emb.token_vector(a), emb.token_vector(b)
+        return float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb) + 1e-12))
+
+    assert cos("alpha", "beta") > cos("alpha", "red") + 0.2
+    assert cos("red", "green") > cos("green", "gamma") + 0.2
+    # idf: the everywhere-token carries ~zero weight vs topic tokens
+    assert emb._idf["filler"] < emb._idf["alpha"] - 0.9
+
+
+def test_weighted_features_skips_oov_and_weights_by_idf(tmp_path):
+    from hgcn_name_disambiguation_ray.state.embedder import HashEmbedder
+
+    path = str(tmp_path / "w2v.txt")
+    with open(path, "w") as f:
+        f.write("2 2\n")
+        f.write("a 1 0\n")
+        f.write("b 0 2\n")  # non-unit norm: must be normalized before weighting
+    with open(path + ".idf", "w") as f:
+        f.write("a 3\nb 1\n")
+    emb = HashEmbedder(model_path=path)
+    out = emb.weighted_features([["a", "b", "zzz-oov"], ["zzz-oov"], []])
+    # idf-weighted mean of unit vectors: (3*[1,0] + 1*[0,1]) / 4
+    np.testing.assert_allclose(out[0], [0.75, 0.25])
+    np.testing.assert_allclose(out[1], [0.0, 0.0])  # all-OOV -> zeros
+    np.testing.assert_allclose(out[2], [0.0, 0.0])
+    # invocab_features: plain mean over in-vocab raw vectors, OOV skipped
+    inv = emb.invocab_features([["a", "b", "zzz-oov"]])
+    np.testing.assert_allclose(inv[0], [0.5, 1.0])
+
+
+def test_ghac_hybrid_edge_dominance_and_cross_merge():
+    from hgcn_name_disambiguation_ray.state.hac import ghac_hybrid
+
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(5, 8))
+    combined = np.zeros((5, 5))
+    combined[0, 1] = combined[1, 0] = 1.0  # one graph component {0,1}
+    # titles: 2 matches 0/1's topic; 3 orthogonal; 4 at cos 0.3 from 3
+    # (below the adaptive tau) but 2-hop-coauthor-linked to it
+    tv = np.array(
+        [[1.0, 0, 0], [1.0, 0.05, 0], [0.98, 0.1, 0], [0, 1.0, 0], [0, 0.3, 0.954]]
+    )
+    hop2 = np.zeros((5, 5))
+    lab0 = ghac_hybrid(emb, combined, tv, hop2, shift=2.0, hop2_beta=0.5,
+                       tau_rule=(0.9, 0.45, 1.2, 0.35, 0.75))
+    assert lab0[3] != lab0[4]  # without the bonus the weak pair stays split
+    hop2[3, 4] = hop2[4, 3] = 1.0
+    lab = ghac_hybrid(emb, combined, tv, hop2, shift=2.0, hop2_beta=0.5,
+                      tau_rule=(0.9, 0.45, 1.2, 0.35, 0.75))
+    assert lab[0] == lab[1]  # graph edge merges before any cut
+    assert lab[2] == lab[0]  # near-identical title joins across components
+    assert lab[3] == lab[4]  # hop2 bonus lifts the otherwise-borderline pair
+    assert lab[3] != lab[0]  # orthogonal topics stay apart
+    # determinism
+    lab2 = ghac_hybrid(emb, combined, tv, hop2, shift=2.0, hop2_beta=0.5,
+                       tau_rule=(0.9, 0.45, 1.2, 0.35, 0.75))
+    np.testing.assert_array_equal(lab, lab2)
+
+
+def test_ghac_hybrid_degenerate_sizes():
+    from hgcn_name_disambiguation_ray.state.hac import ghac_hybrid
+
+    assert ghac_hybrid(np.zeros((0, 4)), np.zeros((0, 0)), np.zeros((0, 2)),
+                       np.zeros((0, 0))).shape == (0,)
+    assert list(ghac_hybrid(np.zeros((1, 4)), np.zeros((1, 1)), np.zeros((1, 2)),
+                            np.zeros((1, 1)))) == [0]
+
+
+def test_average_linkage_merge_distances_monotone():
+    from hgcn_name_disambiguation_ray.state.hac import (
+        average_linkage_merges,
+        average_linkage_merges_with_dist,
+    )
+
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(12, 3))
+    D = np.linalg.norm(X[:, None] - X[None, :], axis=2)
+    merges, mdist = average_linkage_merges_with_dist(D)
+    assert merges == average_linkage_merges(D)
+    assert len(merges) == 11 and len(mdist) == 11
+    assert np.all(np.diff(mdist) >= -1e-12)  # average linkage is reducible
