@@ -130,6 +130,8 @@ def extend_coentities(
         return pa.table(dict(zip(out_names + ["__side"], arrs)))
 
     def pad_hop(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         n = t.num_rows
         cols = {}
         for nm in names:
@@ -137,10 +139,12 @@ def extend_coentities(
                 cols[nm] = t["mention_id"]
             else:
                 cols[nm] = pa.nulls(n, type=types[nm])
-        # each 2-hop entity rides as a single-element ext list; the bucket
+        # each 2-hop entity rides as a single-element ext list (offsets
+        # 0..n over the y values — no per-row list building); the bucket
         # merge unions them per mention
-        cols["coentities_ext"] = pa.array(
-            [[v] for v in t["y"].to_pylist()], type=ext_t
+        cols["coentities_ext"] = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32)),
+            pc.cast(t["y"].combine_chunks(), pa.string()),
         )
         cols["__side"] = pa.array([1] * n, type=pa.int8())
         return pa.table(cols)
@@ -151,37 +155,58 @@ def extend_coentities(
 
     ext_max = cfg.coent_ext_max
 
-    def merge_bucket(g: pd.DataFrame) -> pa.Table:
-        ours = g[g["__side"] == 0]
-        hops = g[g["__side"] == 1]
-        by_m: dict[str, set] = {}
-        for mid, lst in zip(hops["mention_id"], hops["coentities_ext"]):
-            by_m.setdefault(mid, set()).update(lst)
-        ext_col = []
-        for mid, ce in zip(ours["mention_id"], ours["coentities"]):
-            s = set(ce) if isinstance(ce, (list, tuple, np.ndarray)) else set()
-            s |= by_m.get(mid, set())
-            ext_col.append(sorted(s)[:ext_max])
-        # build the output table explicitly against the input schema:
-        # pandas cells holding numpy object arrays (the list-column
-        # roundtrip) trip Ray's tensor-extension inference when a batch's
-        # rows share one shape, so never hand list columns back as pandas
-        cols = {}
-        for nm in names:
-            vals = ours[nm].tolist()
-            if pa.types.is_list(types[nm]) or pa.types.is_large_list(types[nm]):
-                vals = [None if v is None else list(v) for v in vals]
-            cols[nm] = pa.array(vals, type=types[nm])
-        cols["coentities_ext"] = pa.array(ext_col, type=ext_t)
+    def per_bucket(t: pa.Table) -> pa.Table:
+        """Union direct + 2-hop entities per mention, sorted-distinct and
+        capped, assembled straight into a ListArray from flat values +
+        offsets — all segmented numpy / Arrow kernels, no per-row sets."""
+        import pyarrow.compute as pc
+
+        side = t["__side"]
+        ours = t.filter(pc.equal(side, 0))
+        hops = t.filter(pc.equal(side, 1))
+        n = ours.num_rows
+        if n == 0:
+            return pa.table(
+                {**{nm: pa.array([], type=types[nm]) for nm in names},
+                 "coentities_ext": pa.array([], type=ext_t)}
+            )
+
+        def explode(tab: pa.Table, col: str) -> tuple[np.ndarray, np.ndarray]:
+            c = tab[col]
+            lens = np.asarray(pc.fill_null(pc.list_value_length(c), 0).to_pandas(),
+                              dtype=np.int64)
+            flat = np.asarray(pc.list_flatten(c).to_pandas(), dtype=object)
+            mids = np.repeat(
+                np.asarray(tab["mention_id"].to_pandas(), dtype=object), lens
+            )
+            return mids, flat
+
+        mid_o, ent_o = explode(ours, "coentities")
+        mid_h, ent_h = explode(hops, "coentities_ext")
+        mids_ours = np.asarray(ours["mention_id"].to_pandas(), dtype=object)
+        pos = pd.Series(np.arange(n), index=mids_ours)
+        rr = pos.reindex(np.concatenate([mid_o, mid_h])).to_numpy()
+        df = pd.DataFrame({"r": rr, "e": np.concatenate([ent_o, ent_h])})
+        df = df.dropna(subset=["r"]).drop_duplicates()
+        df["r"] = df["r"].astype(np.int64)
+        df = df.sort_values(["r", "e"], ignore_index=True)
+        # cap = the sorted prefix per mention (cumcount is C-speed)
+        df = df[df.groupby("r").cumcount() < ext_max]
+        counts = np.bincount(df["r"].to_numpy(), minlength=n)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        ext_arr = pa.ListArray.from_arrays(
+            pa.array(offsets),
+            pa.array(df["e"].to_numpy(dtype=object), type=pa.string()),
+        )
+        cols = {nm: ours[nm] for nm in names}
+        cols["coentities_ext"] = ext_arr
         return pa.table(cols)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         b = _bucket_of(t.select(["mention_id"]).to_pandas(), ["mention_id"], n_buckets)
         return t.append_column("__bucket", pa.array(b, type=pa.int32()))
 
-    def per_bucket(g: pd.DataFrame) -> pa.Table:
-        return merge_bucket(g.drop(columns="__bucket"))
-
     return unioned.map_batches(add_bucket, batch_format="pyarrow").groupby(
         "__bucket"
-    ).map_groups(per_bucket, batch_format="pandas")
+    ).map_groups(per_bucket, batch_format="pyarrow")

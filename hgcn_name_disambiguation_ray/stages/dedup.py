@@ -280,33 +280,96 @@ def _explode_bands(n_bands: int):
 # verification for ops with narrow per-doc features)
 # --------------------------------------------------------------------------
 
-def _pairs_in_bucket_groups(df: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
-    """Vectorized pair expansion for one bucket partition: pandas groupby
-    over (band, bucket) locally, numpy triangle per multi-member group.
-    Singleton buckets (the vast majority) are dropped in one mask."""
+def _segmented_pair_indices(
+    sizes: np.ndarray, max_bucket: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Absolute (row_u, row_v) positions into a concatenated, per-group-
+    sorted member array for contiguous groups of the given sizes: the
+    full triangle for groups with <= max_bucket members, star + chain
+    (2m-3 edges, see the note below) for larger ones. Fully segmented —
+    no Python loop over groups, so a partition holding millions of small
+    collision groups costs numpy time, not interpreter time."""
+    sizes = sizes.astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+    small = sizes <= max_bucket
+    out_u: list[np.ndarray] = []
+    out_v: list[np.ndarray] = []
+    m = sizes[small]
+    if m.size:
+        # row-major triangle: pair ordinal q in [0, m(m-1)/2) decodes to
+        # (i, j) via the largest i with S(i) = i*(2m-i-1)/2 <= q; the
+        # float sqrt is off by at most one, fixed by the two guards
+        g0 = starts[small]
+        c = m * (m - 1) // 2
+        coff = np.concatenate([[0], np.cumsum(c)])
+        gidx = np.repeat(np.arange(m.size), c)
+        q = np.arange(coff[-1], dtype=np.int64) - coff[gidx]
+        mm = m[gidx]
+        tm = 2 * mm - 1
+        i = np.floor((tm - np.sqrt(tm.astype(np.float64) ** 2 - 8.0 * q)) / 2).astype(np.int64)
+        np.clip(i, 0, np.maximum(mm - 2, 0), out=i)
+        S = i * (2 * mm - i - 1) // 2
+        over = S > q
+        i[over] -= 1
+        S[over] = i[over] * (2 * mm[over] - i[over] - 1) // 2
+        under = S + (mm - 1 - i) <= q
+        S[under] += mm[under] - 1 - i[under]
+        i[under] += 1
+        j = q - S + i + 1
+        out_u.append(g0[gidx] + i)
+        out_v.append(g0[gidx] + j)
+    M = sizes[~small]
+    if M.size:
+        # star edges (min member -> rest) PLUS a chain over the sorted
+        # members: for VERIFIED ops a failed star edge would otherwise
+        # sever members from duplicates they genuinely match (the star
+        # center may be the one non-duplicate in the bucket); with the
+        # chain, any single outlier only drops its own links while the
+        # rest stay connected. 2m-3 edges instead of m(m-1)/2.
+        G0 = starts[~small]
+        gi = np.repeat(np.arange(M.size), M - 1)
+        off = np.concatenate([[0], np.cumsum(M - 1)])
+        k = np.arange(off[-1], dtype=np.int64) - off[gi]
+        out_u.append(G0[gi])
+        out_v.append(G0[gi] + k + 1)
+        gi2 = np.repeat(np.arange(M.size), M - 2)
+        off2 = np.concatenate([[0], np.cumsum(M - 2)])
+        k2 = np.arange(off2[-1], dtype=np.int64) - off2[gi2]
+        out_u.append(G0[gi2] + k2 + 1)
+        out_v.append(G0[gi2] + k2 + 2)
+    if not out_u:
+        z = np.array([], dtype=np.int64)
+        return z, z
+    return np.concatenate(out_u), np.concatenate(out_v)
+
+
+def _multi_member_sorted(df: pd.DataFrame) -> tuple[pd.DataFrame, np.ndarray]:
+    """Distinct (band, bucket, doc_id) rows of the >=2-member collision
+    groups, sorted by (band, bucket, doc_id), plus per-group sizes."""
     df = df.drop_duplicates(["band", "bucket", "doc_id"])
-    # keep only (band,bucket) groups with >= 2 members
-    dup = df.duplicated(["band", "bucket"], keep=False)
-    df = df[dup]
+    df = df[df.duplicated(["band", "bucket"], keep=False)]
+    if df.empty:
+        return df, np.array([], dtype=np.int64)
+    df = df.sort_values(["band", "bucket", "doc_id"], ignore_index=True)
+    b = df["band"].to_numpy()
+    k = df["bucket"].to_numpy()
+    new = np.empty(len(df), dtype=bool)
+    new[0] = True
+    new[1:] = (b[1:] != b[:-1]) | (k[1:] != k[:-1])
+    sizes = np.diff(np.append(np.flatnonzero(new), len(df)))
+    return df, sizes
+
+
+def _pairs_in_bucket_groups(df: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
+    """Pair expansion for one bucket partition, fully segmented (one
+    sort + numpy ordinal decode across ALL collision groups at once;
+    singleton buckets — the vast majority — are dropped in one mask)."""
+    df, sizes = _multi_member_sorted(df)
     if df.empty:
         return pd.DataFrame({"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)})
-    out_u, out_v = [], []
-    for (_, _), g in df.groupby(["band", "bucket"], sort=False):
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) > max_bucket:
-            # bound cost with star edges (min id -> rest) PLUS a chain over
-            # the sorted ids: for VERIFIED ops a failed star edge would
-            # otherwise sever members from duplicates they genuinely match
-            # (the star center may be the one non-duplicate in the bucket);
-            # with the chain, any single outlier only drops its own links
-            # while the rest stay connected. 2n-3 edges instead of n(n-1)/2.
-            out_u.append(np.concatenate([np.repeat(ids[0], len(ids) - 1), ids[1:-1]]))
-            out_v.append(np.concatenate([ids[1:], ids[2:]]))
-        else:
-            iu, iv = np.triu_indices(len(ids), k=1)
-            out_u.append(ids[iu])
-            out_v.append(ids[iv])
-    return pd.DataFrame({"u": np.concatenate(out_u), "v": np.concatenate(out_v)})
+    iu, iv = _segmented_pair_indices(sizes, max_bucket)
+    ids = df["doc_id"].to_numpy()
+    return pd.DataFrame({"u": ids[iu], "v": ids[iv]})
 
 
 def _candidate_pairs(band_rows: Dataset, max_bucket: int = 200) -> Dataset:
@@ -350,36 +413,15 @@ def _candidate_pairs_verified(
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"u": pd.Series(dtype=df["doc_id"].dtype),
                               "v": pd.Series(dtype=df["doc_id"].dtype)})
-        df = df.drop_duplicates(["band", "bucket", "doc_id"])
-        dup = df.duplicated(["band", "bucket"], keep=False)
-        df = df[dup]
+        df, sizes = _multi_member_sorted(df)
         if df.empty:
             return empty
-        out = []
-        for (_, _), g in df.groupby(["band", "bucket"], sort=False):
-            ids = g["doc_id"].to_numpy()
-            order = np.argsort(ids)
-            ids = ids[order]
-            feats = g[feat_col].to_numpy()[order]
-            if len(ids) > max_bucket:
-                # star + chain (see _pairs_in_bucket_groups): the chain keeps
-                # genuine duplicates connected when the star center fails verify
-                iu = np.concatenate(
-                    [np.zeros(len(ids) - 1, dtype=np.int64),
-                     np.arange(1, len(ids) - 1, dtype=np.int64)]
-                )
-                iv = np.concatenate(
-                    [np.arange(1, len(ids), dtype=np.int64),
-                     np.arange(2, len(ids), dtype=np.int64)]
-                )
-            else:
-                iu, iv = np.triu_indices(len(ids), k=1)
-            out.append(
-                pd.DataFrame(
-                    {"u": ids[iu], "v": ids[iv], "feat_u": feats[iu], "feat_v": feats[iv]}
-                )
-            )
-        pairs = pd.concat(out, ignore_index=True).drop_duplicates(["u", "v"])
+        iu, iv = _segmented_pair_indices(sizes, max_bucket)
+        ids = df["doc_id"].to_numpy()
+        feats = df[feat_col].to_numpy()
+        pairs = pd.DataFrame(
+            {"u": ids[iu], "v": ids[iv], "feat_u": feats[iu], "feat_v": feats[iv]}
+        ).drop_duplicates(["u", "v"])
         if pairs.empty:
             return empty
         kept = verify(pairs)

@@ -89,6 +89,14 @@ def pairwise_scores(labeled: Dataset) -> pd.DataFrame:
     """
     labeled = labeled.materialize()  # post-clustering label rows: small; avoids
     # re-executing the upstream pipeline for each of the three count passes
+    #
+    # SCALE GUARD: the three count frames below come to the driver. Their
+    # size is the number of DISTINCT (block, truth-class x cluster) cells
+    # of the LABELED subset — evaluation corpora (110-name Arnetminer,
+    # fixtures) keep this in the thousands. If labeled data ever reaches
+    # web scale, swap the pandas tails for bucketed_group_apply over
+    # block_key and aggregate macro counts distributed; the per-cell
+    # counting (_cell_counts) is already a distributed pre-aggregation.
     cells = _cell_counts(labeled, ["block_key", "person_id", "cluster_id"], "n").to_pandas()
     preds = _cell_counts(labeled, ["block_key", "cluster_id"], "n").to_pandas()
     trues = _cell_counts(labeled, ["block_key", "person_id"], "n").to_pandas()

@@ -248,3 +248,70 @@ def test_exact_dedup_corpus_keeps_min_id_rows(corpus_ds):
     # every duplicated text keeps its min-id copy, copies 100..104 drop
     assert set(range(5)) <= set(out["doc_id"])
     assert not any(100 <= d <= 104 for d in out["doc_id"])
+
+
+def test_segmented_pair_indices_matches_naive():
+    """The loop-free ordinal decode must reproduce the per-group
+    triangle / star+chain expansion exactly, across many random group
+    size mixes (including sizes straddling max_bucket)."""
+    from hgcn_name_disambiguation_ray.stages.dedup import _segmented_pair_indices
+
+    rng = np.random.default_rng(17)
+    for trial in range(25):
+        max_bucket = int(rng.integers(2, 12))
+        sizes = rng.integers(2, 20, size=int(rng.integers(1, 30)))
+        iu, iv = _segmented_pair_indices(sizes, max_bucket)
+        want_u, want_v = [], []
+        start = 0
+        for m in sizes:
+            idx = np.arange(start, start + m)
+            if m > max_bucket:
+                want_u.append(np.concatenate([np.repeat(idx[0], m - 1), idx[1:-1]]))
+                want_v.append(np.concatenate([idx[1:], idx[2:]]))
+            else:
+                a, b = np.triu_indices(m, k=1)
+                want_u.append(idx[a])
+                want_v.append(idx[b])
+            start += m
+        # both enumerate group-by-group; triangle order is row-major in
+        # both, star+chain order matches by construction
+        np.testing.assert_array_equal(np.sort(iu * 10**6 + iv),
+                                      np.sort(np.concatenate(want_u) * 10**6 + np.concatenate(want_v)))
+        assert np.all(iu < iv)
+
+
+def test_pairs_in_bucket_groups_segmented_equivalence():
+    """End-to-end _pairs_in_bucket_groups vs a naive per-group loop on a
+    random collision table (mixed singleton/small/oversized buckets)."""
+    from hgcn_name_disambiguation_ray.stages.dedup import _pairs_in_bucket_groups
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "band": rng.integers(0, 4, n).astype(np.int32),
+            "bucket": rng.integers(0, 300, n).astype(np.uint64),
+            "doc_id": rng.integers(0, 2500, n),
+        }
+    )
+    got = (
+        _pairs_in_bucket_groups(df, max_bucket=8)
+        .drop_duplicates(["u", "v"]).sort_values(["u", "v"]).reset_index(drop=True)
+    )
+    d = df.drop_duplicates(["band", "bucket", "doc_id"])
+    d = d[d.duplicated(["band", "bucket"], keep=False)]
+    want_u, want_v = [], []
+    for (_, _), g in d.groupby(["band", "bucket"], sort=False):
+        ids = np.sort(g["doc_id"].to_numpy())
+        if len(ids) > 8:
+            want_u.append(np.concatenate([np.repeat(ids[0], len(ids) - 1), ids[1:-1]]))
+            want_v.append(np.concatenate([ids[1:], ids[2:]]))
+        else:
+            a, b = np.triu_indices(len(ids), k=1)
+            want_u.append(ids[a])
+            want_v.append(ids[b])
+    want = (
+        pd.DataFrame({"u": np.concatenate(want_u), "v": np.concatenate(want_v)})
+        .drop_duplicates(["u", "v"]).sort_values(["u", "v"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
