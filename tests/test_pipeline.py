@@ -218,3 +218,40 @@ def test_sharded_checkpoint_kill_resume(tmp_path):
         got[["mention_id", "block_key", "cluster_id"]],
         want[["mention_id", "block_key", "cluster_id"]],
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sharded_artifact_regime_matches_unsharded(tmp_path):
+    """cross_merge="title" through run_linkage_sharded: the 2-hop
+    extension runs globally BEFORE sharding (the collaborator graph must
+    not be cut at shard boundaries), and the sharded output equals the
+    unsharded artifact run."""
+    import dataclasses
+
+    import pandas as pd
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.config import LinkageConfig
+    from hgcn_name_disambiguation_ray.fixtures import FixtureSpec, write_fixture
+    from hgcn_name_disambiguation_ray.pipelines.linkage import (
+        extract_mentions,
+        run_linkage,
+        run_linkage_sharded,
+    )
+    from hgcn_name_disambiguation_ray.state.wordvec import train_word_vectors
+
+    paths = write_fixture(
+        FixtureSpec(n_names=6, persons_per_name=2, docs_per_person=6, hot_name_factor=2),
+        str(tmp_path / "fx"),
+    )
+    pages = rd.read_parquet(paths["pages"])
+    model = str(tmp_path / "w2v.txt")
+    train_word_vectors(extract_mentions(pages).materialize(), model, tokens_col="tokens", dim=16)
+    cfg = dataclasses.replace(LinkageConfig(), cross_merge="title", word2vec_path=model)
+
+    out = run_linkage_sharded(pages, cfg, str(tmp_path / "ckpt"),
+                              lineage_token="t", n_shards=3)
+    got = out.to_pandas().sort_values("mention_id").reset_index(drop=True)
+    want = run_linkage(pages, cfg).to_pandas().sort_values("mention_id").reset_index(drop=True)
+    # cluster ids are block-local and deterministic either way
+    pd.testing.assert_frame_equal(got, want)
