@@ -1017,6 +1017,40 @@ def _q_compression_ratio(sf_dir: str):
     )
 
 
+_BLOCKLIST = ("src1", "src4")
+
+
+def _q_repetition_docs(sf_dir: str):
+    """Gopher-style word-repetition stats (dup-word / top-word fraction +
+    flag); the whole computation is segmented numpy over flat tokens."""
+    from hgcn_name_disambiguation_ray.pipelines.textprep import repetition_stats
+
+    return repetition_stats(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
+def _q_source_stats(sf_dir: str):
+    """Domain-level crawl filter: drop blocklisted sources (broadcast set,
+    no shuffle), then per-source doc/char rollup with per-batch partials."""
+    from hgcn_name_disambiguation_ray.pipelines.textprep import source_stats
+
+    return source_stats(
+        _docs(sf_dir, columns=["doc_id", "source", "n_chars"]),
+        blocklist=frozenset(_BLOCKLIST),
+    )
+
+
+def _q_length_histogram(sf_dir: str):
+    from hgcn_name_disambiguation_ray.pipelines.textprep import length_histogram
+
+    return length_histogram(_docs(sf_dir, columns=["doc_id", "n_chars"]))
+
+
+def _q_bigram_counts(sf_dir: str):
+    from hgcn_name_disambiguation_ray.pipelines.textprep import bigram_counts
+
+    return bigram_counts(_docs(sf_dir, columns=["doc_id", "text"]), k=100)
+
+
 def _q_train_test_split(sf_dir: str):
     """Deterministic 90/10 split by Knuth multiplicative hash of doc_id —
     pure modular arithmetic, so the oracle replicates it exactly in SQL."""
@@ -1158,6 +1192,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "compression_docs": _q_compression_ratio,
+        "repetition_docs": _q_repetition_docs,
+        "source_stats": _q_source_stats,
+        "length_histogram": _q_length_histogram,
+        "bigram_counts": _q_bigram_counts,
         "pii_scrub": _q_pii_scrub,
         "sampled_docs": _q_sampled_docs,
         "group_topk_chars": _q_group_topk_chars,
@@ -1352,6 +1390,43 @@ def oracle_sql() -> dict[str, str]:
             "x -> length(x) > 0)) AS token FROM documents) "
             "SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
             "count(*) AS n_occurrences FROM toks GROUP BY 1 HAVING count(*) >= 2"
+        ),
+        "repetition_docs": (
+            # docs here always have >= 1 word (synthetic corpus); the engine
+            # emits zeros for empty docs, which the LEFT JOIN mirrors
+            "WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+            "x -> length(x) > 0)) AS tok FROM documents), "
+            "c AS (SELECT doc_id, tok, count(*) AS c FROM w GROUP BY 1, 2), "
+            "d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct, "
+            "CAST(sum(c) AS BIGINT) AS n_words2, CAST(max(c) AS BIGINT) AS top FROM c GROUP BY 1) "
+            "SELECT doc.doc_id, coalesce(d.n_words2, 0) AS n_words2, "
+            "round(coalesce(1.0 - d.n_distinct / CAST(d.n_words2 AS DOUBLE), 0.0), 6) AS dup_word_frac_r, "
+            "round(coalesce(d.top / CAST(d.n_words2 AS DOUBLE), 0.0), 6) AS top_word_frac_r, "
+            "CAST(coalesce(1.0 - d.n_distinct / CAST(d.n_words2 AS DOUBLE), 0.0) > 0.2 AS BIGINT) AS flagged "
+            "FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id"
+        ),
+        "source_stats": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents "
+            "WHERE source NOT IN ('src1', 'src4') GROUP BY source"
+        ),
+        "length_histogram": (
+            # bucket i = lengths in [edges[i-1], edges[i]); edges
+            # (50,100,150,200,300,500,1000) as in length_histogram()
+            "WITH b AS (SELECT CASE WHEN n_chars < 50 THEN 0 WHEN n_chars < 100 THEN 1 "
+            "WHEN n_chars < 150 THEN 2 WHEN n_chars < 200 THEN 3 WHEN n_chars < 300 THEN 4 "
+            "WHEN n_chars < 500 THEN 5 WHEN n_chars < 1000 THEN 6 ELSE 7 END AS bucket "
+            "FROM documents) "
+            "SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs FROM b GROUP BY bucket"
+        ),
+        "bigram_counts": (
+            "WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), "
+            "x -> length(x) > 0) AS toks FROM documents), "
+            "p AS (SELECT doc_id, unnest(list_zip(list_slice(toks, 1, len(toks) - 1), "
+            "list_slice(toks, 2, len(toks)))) AS z FROM t WHERE len(toks) >= 2), "
+            "bg AS (SELECT z[1] || ' ' || z[2] AS bigram FROM p) "
+            "SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg "
+            "GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 100"
         ),
         "pii_scrub": (
             # same pattern ORDER as the engine: email -> url -> phone, each

@@ -413,3 +413,188 @@ def fingerprint(
         return pa.table({id_col: t[id_col], "fingerprint": pa.array(fps, type=pa.uint64())})
 
     return ds.map_batches(body, batch_format="pyarrow")
+
+
+def repetition_stats(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id",
+    dup_thresh: float = 0.2,
+) -> Dataset:
+    """Gopher-style word-repetition signals per doc: duplicate-word
+    fraction (1 - distinct/total) and most-frequent-word fraction, plus
+    a flag at the duplicate-word threshold (Rae et al. 2021 use this
+    family of rules to drop boilerplate/spam from MassiveText).
+
+    Segmented: tokens hash to 64-bit (collision odds within one doc are
+    ~n²/2⁶⁴ — statistics, not identity, so this is safe), one lexsort by
+    (doc, hash), run boundaries give distinct counts and max run length
+    per doc with no Python loop."""
+
+    def body(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        flat, offsets = split_ws_flat(t[text_col])
+        n_words = np.diff(offsets)
+        h = stable_hash64_array(flat)
+        docidx = np.repeat(np.arange(n, dtype=np.int64), n_words)
+        distinct = np.zeros(n, dtype=np.int64)
+        top = np.zeros(n, dtype=np.int64)
+        if len(h):
+            order = np.lexsort((h, docidx))
+            hs, ds_ = h[order], docidx[order]
+            new = np.r_[True, (ds_[1:] != ds_[:-1]) | (hs[1:] != hs[:-1])]
+            np.add.at(distinct, ds_[new], 1)
+            run_starts = np.flatnonzero(new)
+            run_len = np.diff(np.append(run_starts, len(hs)))
+            np.maximum.at(top, ds_[run_starts], run_len)
+        nw = np.maximum(n_words, 1)
+        dup_frac = np.where(n_words > 0, 1.0 - distinct / nw, 0.0)
+        top_frac = np.where(n_words > 0, top / nw, 0.0)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_words2": pa.array(n_words),
+                "dup_word_frac_r": pa.array(np.round(dup_frac, 6)),
+                "top_word_frac_r": pa.array(np.round(top_frac, 6)),
+                "flagged": pa.array((dup_frac > dup_thresh).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+def source_stats(
+    ds: Dataset,
+    blocklist: set[str] | frozenset[str] = frozenset(),
+    source_col: str = "source",
+    chars_col: str = "n_chars",
+) -> Dataset:
+    """Per-source corpus stats after dropping blocklisted sources — the
+    domain-level filter every crawl pipeline runs (C4/RefinedWeb drop
+    whole hosts). The blocklist is a small broadcast set applied inside
+    map_batches (no shuffle); the per-source rollup pre-aggregates per
+    batch so the groupby moves one row per (batch, source)."""
+    blocked = frozenset(blocklist)
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(t[source_col], value_set=pa.array(sorted(blocked), type=pa.string()))) if blocked else None
+        if mask is not None:
+            t = t.filter(mask)
+        tt = t.group_by(source_col).aggregate(
+            [(source_col, "count"), (chars_col, "sum")]
+        )
+        return pa.table(
+            {
+                source_col: tt[source_col],
+                "n_docs": tt[f"{source_col}_count"].cast(pa.int64()),
+                "sum_chars": tt[f"{chars_col}_sum"].cast(pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(source_col)
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("sum_chars", alias_name="sum_chars"))
+    )
+    # Ray's Sum widens to float64; these are exact integer counts
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                source_col: t[source_col],
+                "n_docs": t["n_docs"].cast(pa.int64()),
+                "sum_chars": t["sum_chars"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def length_histogram(
+    ds: Dataset,
+    edges: tuple[int, ...] = (50, 100, 150, 200, 300, 500, 1000),
+    chars_col: str = "n_chars",
+) -> Dataset:
+    """Exact doc-length histogram over fixed bucket edges: bucket i holds
+    lengths in [edges[i-1], edges[i]).  Per-batch bincount partials, then
+    a tiny groupby-sum — the whole corpus collapses to len(edges)+1 rows
+    before anything shuffles."""
+    e = np.asarray(edges, dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t[chars_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.searchsorted(e, x, side="right")
+        cnt = np.bincount(b, minlength=len(e) + 1)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(len(e) + 1, dtype=np.int64)),
+                "n_docs": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+    # partials emit every bucket per batch (bincount), so empty buckets
+    # appear as zero rows — drop them to match a GROUP BY over the data
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"bucket": t["bucket"], "n_docs": t["n_docs"].cast(pa.int64())}
+        ).filter(pc.greater(t["n_docs"].combine_chunks().cast(pa.int64()), 0)),
+        batch_format="pyarrow",
+    )
+
+
+def bigram_counts(
+    ds: Dataset, k: int = 100, text_col: str = "text", id_col: str = "doc_id"
+) -> Dataset:
+    """Global top-k bigrams with counts (the n-gram statistics step of a
+    corpus-analysis pipeline). Bigrams form by pairing each flat token
+    with its successor, masking pairs that cross document boundaries;
+    per-batch np.unique partials shrink the shuffle to distinct bigrams
+    per batch before the groupby-sum. Ties at the boundary break by
+    bigram text ascending, so the result is deterministic."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, offsets = split_ws_flat(t[text_col], lower=True)
+        n_words = np.diff(offsets)
+        if len(flat) > 1:
+            docidx = np.repeat(np.arange(len(n_words), dtype=np.int64), n_words)
+            same = docidx[1:] == docidx[:-1]
+            u = flat.astype("U")
+            bg = np.char.add(np.char.add(u[:-1][same], " "), u[1:][same])
+            vals, cnts = np.unique(bg, return_counts=True)
+        else:
+            vals = np.zeros(0, dtype="U1")
+            cnts = np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {
+                "bigram": pa.array(vals.astype(object), type=pa.string()),
+                "n": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def key(t: pa.Table) -> pa.Table:
+        # count descending then bigram ascending, via one ascending sort key
+        n64 = t["n"].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {"bigram": t["bigram"], "n": n64, "neg_n": pc.negate_checked(n64)}
+        )
+
+    return (
+        agg.map_batches(key, batch_format="pyarrow")
+        .sort(["neg_n", "bigram"])
+        .limit(k)
+        .select_columns(["bigram", "n"])
+    )

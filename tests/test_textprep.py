@@ -171,3 +171,65 @@ def test_tfidf_top_terms(ray_session):
     assert (out.loc[out["token"] == "common", "tfidf_micro"] == 0).all()
     apple = out[(out["doc_id"] == 0) & (out["token"] == "apple")].iloc[0]
     assert apple["tfidf_micro"] == round(3 * np.log(3 / 1) * 1e6)
+
+
+def test_repetition_stats(ray_session):
+    import ray.data as rd
+    from hgcn_name_disambiguation_ray.pipelines.textprep import repetition_stats
+
+    rows = [
+        {"doc_id": 0, "text": "spam spam spam spam"},          # 1 distinct / 4
+        {"doc_id": 1, "text": "all words here are distinct"},  # 5 / 5
+        {"doc_id": 2, "text": ""},                             # empty -> zeros
+        {"doc_id": 3, "text": "a a b"},                        # 2 / 3, top 2/3
+    ]
+    out = repetition_stats(rd.from_pandas(pd.DataFrame(rows))).to_pandas().set_index("doc_id")
+    assert out.loc[0, "dup_word_frac_r"] == 0.75 and out.loc[0, "flagged"] == 1
+    assert out.loc[0, "top_word_frac_r"] == 1.0
+    assert out.loc[1, "dup_word_frac_r"] == 0.0 and out.loc[1, "flagged"] == 0
+    assert out.loc[2, "n_words2"] == 0 and out.loc[2, "dup_word_frac_r"] == 0.0
+    assert out.loc[3, "dup_word_frac_r"] == round(1 - 2 / 3, 6)
+    assert out.loc[3, "top_word_frac_r"] == round(2 / 3, 6)
+
+
+def test_source_stats_blocklist(ray_session):
+    import ray.data as rd
+    from hgcn_name_disambiguation_ray.pipelines.textprep import source_stats
+
+    rows = [
+        {"doc_id": i, "source": f"src{i % 3}", "n_chars": 10 * (i + 1)}
+        for i in range(9)
+    ]
+    out = source_stats(
+        rd.from_pandas(pd.DataFrame(rows)), blocklist={"src1"}
+    ).to_pandas().set_index("source")
+    assert "src1" not in out.index
+    assert out.loc["src0", "n_docs"] == 3
+    assert out.loc["src0", "sum_chars"] == 10 * (1 + 4 + 7)
+    assert out["n_docs"].dtype == np.int64
+
+
+def test_length_histogram_buckets(ray_session):
+    import ray.data as rd
+    from hgcn_name_disambiguation_ray.pipelines.textprep import length_histogram
+
+    rows = [{"doc_id": i, "n_chars": c} for i, c in enumerate([10, 49, 50, 120, 2000])]
+    out = length_histogram(rd.from_pandas(pd.DataFrame(rows))).to_pandas()
+    got = dict(zip(out["bucket"], out["n_docs"]))
+    assert got == {0: 2, 1: 1, 2: 1, 7: 1}  # zero buckets dropped
+
+
+def test_bigram_counts_boundaries_and_ties(ray_session):
+    import ray.data as rd
+    from hgcn_name_disambiguation_ray.pipelines.textprep import bigram_counts
+
+    rows = [
+        {"doc_id": 0, "text": "x y x y"},   # 'x y' x2, 'y x' x1
+        {"doc_id": 1, "text": "Y"},          # no bigram; also must not pair
+        {"doc_id": 2, "text": "z x"},        # with doc 0's trailing token
+    ]
+    out = bigram_counts(rd.from_pandas(pd.DataFrame(rows)), k=2).to_pandas()
+    assert list(out.columns) == ["bigram", "n"]
+    assert out.iloc[0].tolist() == ["x y", 2]
+    # tie between 'y x' and 'z x' at n=1 breaks by text ascending
+    assert out.iloc[1].tolist() == ["y x", 1]
