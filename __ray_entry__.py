@@ -1051,6 +1051,14 @@ def _q_bigram_counts(sf_dir: str):
     return bigram_counts(_docs(sf_dir, columns=["doc_id", "text"]), k=100)
 
 
+def _q_char_quantiles(sf_dir: str):
+    """Exact distributed quantiles over the doc-length column (value-count
+    partials; only distinct values shuffle)."""
+    from hgcn_name_disambiguation_ray.pipelines.textprep import char_quantiles
+
+    return char_quantiles(_docs(sf_dir, columns=["doc_id", "n_chars"]))
+
+
 def _q_train_test_split(sf_dir: str):
     """Deterministic 90/10 split by Knuth multiplicative hash of doc_id —
     pure modular arithmetic, so the oracle replicates it exactly in SQL."""
@@ -1196,6 +1204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_stats": _q_source_stats,
         "length_histogram": _q_length_histogram,
         "bigram_counts": _q_bigram_counts,
+        "char_quantiles": _q_char_quantiles,
         "pii_scrub": _q_pii_scrub,
         "sampled_docs": _q_sampled_docs,
         "group_topk_chars": _q_group_topk_chars,
@@ -1427,6 +1436,16 @@ def oracle_sql() -> dict[str, str]:
             "bg AS (SELECT z[1] || ' ' || z[2] AS bigram FROM p) "
             "SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg "
             "GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 100"
+        ),
+        "char_quantiles": (
+            # rank = ceil(q*n) in exact integer milli-arithmetic, mirroring
+            # the engine (float q*n rounds the wrong way at exact ranks)
+            "WITH s AS (SELECT n_chars AS value, "
+            "row_number() OVER (ORDER BY n_chars) AS rk FROM documents), "
+            "nn AS (SELECT count(*) AS n FROM documents), "
+            "q AS (SELECT unnest([100, 250, 500, 750, 900, 990]) AS q_milli) "
+            "SELECT q.q_milli, s.value FROM q, nn, s "
+            "WHERE s.rk = greatest(1, (q.q_milli * nn.n + 999) // 1000)"
         ),
         "pii_scrub": (
             # same pattern ORDER as the engine: email -> url -> phone, each

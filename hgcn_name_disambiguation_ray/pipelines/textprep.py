@@ -598,3 +598,54 @@ def bigram_counts(
         .limit(k)
         .select_columns(["bigram", "n"])
     )
+
+
+def char_quantiles(
+    ds: Dataset,
+    qs: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+    chars_col: str = "n_chars",
+) -> Dataset:
+    """EXACT discrete quantiles of a bounded-integer column, computed
+    distributed: per-batch value counts (the corpus collapses to its
+    distinct values before anything moves), a groupby-sum over values,
+    then one tiny driver pass over the sorted (value, count) frame to
+    read off the quantiles. Works at any corpus size whose DISTINCT
+    value count is small (lengths, scores, years — the usual stats
+    targets); for unbounded domains use a sketch instead.
+
+    The q-quantile is the value at 1-based rank ceil(q*n) of the sorted
+    column, computed in exact integer arithmetic over q_milli = 1000*q
+    (float q*n rounds the wrong way at exactly-divisible ranks:
+    0.1 * 5000 = 500.0000000000001)."""
+    qs = tuple(qs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t[chars_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, cnts = np.unique(x, return_counts=True)
+        return pa.table(
+            {"value": pa.array(vals), "cnt": pa.array(cnts.astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    # the aggregated frame is len(distinct values) — tiny by assumption
+    df = agg.to_pandas().sort_values("value").reset_index(drop=True)
+    vals = df["value"].to_numpy(dtype=np.int64)
+    cum = df["cnt"].to_numpy(dtype=np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    q_milli = np.round(np.asarray(qs, dtype=np.float64) * 1000).astype(np.int64)
+    if n:
+        ranks = ((q_milli * n + 999) // 1000).clip(1, n)
+        picked = vals[np.searchsorted(cum, ranks, side="left")]
+    else:
+        picked = np.zeros(len(q_milli), dtype=np.int64)
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table({"q_milli": pa.array(q_milli), "value": pa.array(picked)})
+    )

@@ -233,3 +233,16 @@ def test_bigram_counts_boundaries_and_ties(ray_session):
     assert out.iloc[0].tolist() == ["x y", 2]
     # tie between 'y x' and 'z x' at n=1 breaks by text ascending
     assert out.iloc[1].tolist() == ["y x", 1]
+
+
+def test_char_quantiles_exact_ranks(ray_session):
+    import ray.data as rd
+    from hgcn_name_disambiguation_ray.pipelines.textprep import char_quantiles
+
+    # n=10, values 1..10: q-quantile = value at rank ceil(q*10)
+    rows = [{"doc_id": i, "n_chars": i + 1} for i in range(10)]
+    out = char_quantiles(
+        rd.from_pandas(pd.DataFrame(rows)), qs=(0.1, 0.25, 0.5, 0.9, 1.0)
+    ).to_pandas()
+    got = dict(zip(out["q_milli"], out["value"]))
+    assert got == {100: 1, 250: 3, 500: 5, 900: 9, 1000: 10}
