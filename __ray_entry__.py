@@ -301,6 +301,18 @@ def _q_window_counts(sf_dir: str):
     return partials.groupby(["user_id", "day"]).aggregate(Sum("n_events", alias_name="n_events"))
 
 
+def _q_hopping_window(sf_dir: str):
+    """2-day windows hopping by 1 day per user over the events stream —
+    the overlapping-window aggregate a tumbling groupby can't express."""
+    import ray.data as rd
+    from hgcn_name_disambiguation_ray.stages.groupagg import hopping_window_count
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+    return hopping_window_count(
+        ds, "user_id", "ts", window_us=2 * 86_400_000_000, hop_us=86_400_000_000
+    )
+
+
 def _q_top_orders(sf_dir: str):
     import ray.data as rd
 
@@ -1175,6 +1187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shared_token_pairs": _q_shared_token_pairs,
         "eval_counts": _q_eval_counts,
         "window_counts": _q_window_counts,
+        "hopping_window": _q_hopping_window,
         "top_orders": _q_top_orders,
         "topk_cosine": _q_topk_cosine,
         "minhash_dedup": _q_minhash_dedup,
@@ -1349,6 +1362,15 @@ def oracle_sql() -> dict[str, str]:
         "window_counts": (
             "SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events "
             "FROM events GROUP BY 1, 2"
+        ),
+        "hopping_window": (
+            # same tiling as the engine: event at t lands in windows with
+            # start hop*i, i in [(t - window)//hop + 1, t//hop]
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), "
+            "w AS (SELECT user_id, unnest(range((t - 172800000000) // 86400000000 + 1, "
+            "t // 86400000000 + 1)) AS i FROM e) "
+            "SELECT user_id, i * 86400000000 AS wstart, "
+            "CAST(count(*) AS BIGINT) AS n_events FROM w GROUP BY 1, 2"
         ),
         "top_orders": (
             "SELECT o_orderkey, o_totalprice FROM orders "

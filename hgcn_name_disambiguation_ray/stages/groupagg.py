@@ -364,3 +364,57 @@ def bucketed_sum(
         return df.groupby(keys, as_index=False, sort=False)[value_cols].sum()
 
     return bucketed_group_apply(ds, keys, _sum, n_buckets)
+
+
+def hopping_window_count(
+    ds: Dataset,
+    key_col: str,
+    ts_col: str,
+    window_us: int,
+    hop_us: int,
+) -> Dataset:
+    """Hopping (sliding) event-time window counts per key: every event
+    lands in the window_us/hop_us overlapping windows covering its
+    timestamp; window starts align to hop_us. Output (key, wstart,
+    n_events) with wstart in epoch micros.
+
+    Streaming shape: the tile expansion (a constant x window/hop blowup)
+    and a per-batch (key, wstart) partial count happen inside
+    map_batches, so the shuffle moves pre-aggregated counts, not tiled
+    events. window_us must be a multiple of hop_us."""
+    if window_us % hop_us:
+        raise ValueError("window_us must be a multiple of hop_us")
+    k = window_us // hop_us
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        tsv = ts.to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        # windows with start hop*i for i in [ (ts-window)//hop + 1, ts//hop ]
+        i_lo = (tsv - window_us) // hop_us + 1
+        starts = (
+            (i_lo[:, None] + np.arange(k, dtype=np.int64)[None, :]) * hop_us
+        ).ravel()
+        tiled = pd.DataFrame({key_col: np.repeat(keys, k), "wstart": starts})
+        out = tiled.groupby([key_col, "wstart"], as_index=False, sort=False).size()
+        return pa.Table.from_pandas(
+            out.rename(columns={"size": "n_events"}), preserve_index=False
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "wstart"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("n_events"),
+            "n_events",
+            t["n_events"].cast(pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )

@@ -206,3 +206,31 @@ def test_auto_join_both_paths_match_pandas():
             got.astype({"k": np.int64, "lv": np.int64, "rv": np.int64}),
             want.astype({"k": np.int64, "lv": np.int64, "rv": np.int64}),
         )
+
+
+def test_hopping_window_count(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.groupagg import hopping_window_count
+
+    # hop 10us, window 20us: event at t lands in windows floor(t/10)*10
+    # and (floor(t/10)-1)*10
+    rows = [
+        {"u": 1, "t": 5},    # windows 0, -10
+        {"u": 1, "t": 15},   # windows 10, 0
+        {"u": 1, "t": 25},   # windows 20, 10
+        {"u": 2, "t": 10},   # windows 10, 0
+    ]
+    out = hopping_window_count(
+        rd.from_pandas(pd.DataFrame(rows)), "u", "t", window_us=20, hop_us=10
+    ).to_pandas()
+    got = {(r.u, r.wstart): r.n_events for r in out.itertuples()}
+    assert got == {
+        (1, -10): 1, (1, 0): 2, (1, 10): 2, (1, 20): 1,
+        (2, 0): 1, (2, 10): 1,
+    }
+    import pytest
+
+    with pytest.raises(ValueError):
+        hopping_window_count(rd.from_pandas(pd.DataFrame(rows)), "u", "t", 25, 10)
