@@ -179,3 +179,82 @@ def decode_resize_featurize(
         ImageFeatures, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency,
     )
+
+
+VIDEO_SCHEMA = pa.schema(
+    [
+        ("item_id", pa.string()),
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("duration_ms", pa.int32()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+    ]
+)
+
+
+class SampleFrames:
+    """Actor-pool stage: video payload -> n evenly-spaced frames, one
+    output row PER FRAME (item_id, frame_idx, ts_ms, width, height,
+    pixels) — the fan-out sampling step of a video-training pipeline.
+
+    Like DecodeImage, the codec call is STUBBED (no video libraries in
+    this container): `fake=True` derives each frame deterministically
+    from (payload hash, frame index), so frame identity and ordering are
+    testable; swap `_decode_frame` for a real demuxer in production. The
+    1-to-n row fan-out, per-frame timestamps, and FixedSizeList pixel
+    layout are the real plumbing under either decoder."""
+
+    def __init__(self, n_frames: int = 4, fake: bool = False, channels: int = 3):
+        self.n_frames = n_frames
+        self.fake = fake
+        self.channels = channels
+
+    def _decode_frame(self, payload: bytes, ts_ms: int, width: int, height: int) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "video codecs not available in this environment; "
+                "construct SampleFrames(fake=True) for the deterministic stub"
+            )
+        seed = stable_hash64(f"{payload.hex() if payload else ''}:{ts_ms}")
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=(height, width, self.channels), dtype=np.uint8)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        k = self.n_frames
+        n = t.num_rows
+        payloads = t["payload"].to_pylist()
+        dur = np.asarray(t["duration_ms"].to_pylist(), dtype=np.int64)
+        ws = t["width"].to_pylist()
+        hs = t["height"].to_pylist()
+        # evenly spaced sample times: ts_j = floor(dur * (j + 0.5) / k),
+        # in exact integer arithmetic
+        j = np.arange(k, dtype=np.int64)
+        ts = (dur[:, None] * (2 * j + 1)[None, :]) // (2 * k)  # (n, k)
+        frames = [
+            self._decode_frame(payloads[i] or b"", int(ts[i, jj]), int(ws[i]), int(hs[i])).reshape(-1)
+            for i in range(n)
+            for jj in range(k)
+        ]
+        return pa.table(
+            {
+                "item_id": pa.array(np.repeat(np.asarray(t["item_id"].to_pylist(), dtype=object), k)),
+                "frame_idx": pa.array(np.tile(j, n)),
+                "ts_ms": pa.array(ts.reshape(-1)),
+                "width": pa.array(np.repeat(ws, k), type=pa.int32()),
+                "height": pa.array(np.repeat(hs, k), type=pa.int32()),
+                "pixels": _u8_list(frames),
+            }
+        )
+
+
+def sample_frames(
+    ds: Dataset, n_frames: int = 4, fake: bool = True,
+    batch_size: int = 16, concurrency=(1, 4),
+) -> Dataset:
+    """Frame sampling as an actor-pool map_batches: batch_size stays
+    small because every input row fans out n_frames wide pixel rows."""
+    return ds.map_batches(
+        SampleFrames, fn_constructor_args=(n_frames, fake),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )

@@ -54,3 +54,46 @@ def test_fake_decode_deterministic(image_ds):
         np.array([np.asarray(x) for x in a["features"]]),
         np.array([np.asarray(x) for x in b["features"]]),
     )
+
+
+def test_sample_frames_fanout_and_determinism(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.multimodal import SampleFrames, sample_frames
+
+    rows = [
+        {"item_id": "v0", "payload": b"\x01\x02", "mime": "video/x-fake",
+         "duration_ms": 10_000, "width": 4, "height": 4},
+        {"item_id": "v1", "payload": b"\x03", "mime": "video/x-fake",
+         "duration_ms": 500, "width": 3, "height": 5},
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = sample_frames(ds, n_frames=4, fake=True).to_pandas()
+    assert len(out) == 8  # 2 videos x 4 frames
+    v0 = out[out["item_id"] == "v0"].sort_values("frame_idx")
+    # evenly spaced midpoints of 4 segments over 10s
+    assert v0["ts_ms"].tolist() == [1250, 3750, 6250, 8750]
+    assert all(len(p) == 4 * 4 * 3 for p in v0["pixels"])
+    # distinct frames of one video differ; same call is deterministic
+    out2 = sample_frames(ds, n_frames=4, fake=True).to_pandas()
+    p1 = v0["pixels"].tolist()
+    assert not np.array_equal(np.asarray(p1[0]), np.asarray(p1[1]))
+    v0b = out2[out2["item_id"] == "v0"].sort_values("frame_idx")
+    assert all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(p1, v0b["pixels"].tolist()))
+
+
+def test_sample_frames_stub_raises_without_fake():
+    import pyarrow as pa
+
+    from hgcn_name_disambiguation_ray.stages.multimodal import SampleFrames
+
+    t = pa.table(
+        {"item_id": ["v"], "payload": [b"x"], "mime": ["video/x-fake"],
+         "duration_ms": pa.array([100], type=pa.int32()),
+         "width": pa.array([2], type=pa.int32()),
+         "height": pa.array([2], type=pa.int32())}
+    )
+    with pytest.raises(NotImplementedError):
+        SampleFrames(n_frames=2, fake=False)(t)
