@@ -526,7 +526,8 @@ def _q_ivf_topk(sf_dir: str):
     ).to_pandas()
     hits = len(set(approx["vec_id"]) & set(exact["vec_id"]))
     recall_pct = (100 * hits) // max(1, len(exact))
-    assert recall_pct >= 60, f"IVF recall {recall_pct}% < 60% floor at nprobe=4/16"
+    if recall_pct < 60:  # explicit raise: survives python -O, unlike assert
+        raise ValueError(f"IVF recall {recall_pct}% < 60% floor at nprobe=4/16")
     approx["recall_pct"] = np.int64(recall_pct)
     return approx
 
@@ -1166,8 +1167,18 @@ def _q_linkage_arnetminer_artifact(sf_dir: str):
                              "recall": pd.Series(dtype=np.float64),
                              "f1": pd.Series(dtype=np.float64)})
     pages, truth = arnetminer_tables(raw)
+    # key the cached word-vector model on the corpus contents (file
+    # names + mtimes + sizes), not the path alone — a regenerated corpus
+    # retrains instead of silently reusing stale vectors
+    stat = sorted(
+        (f, int(s.st_mtime), s.st_size)
+        for f in os.listdir(raw)
+        for s in [os.stat(os.path.join(raw, f))]
+    )
     clusters = run_linkage_artifact(
-        rd.from_arrow(pages), model_path="/tmp/arnet_artifact_w2v.txt"
+        rd.from_arrow(pages),
+        model_path="/tmp/arnet_artifact_w2v.txt",
+        lineage_token=repr(stat),
     )
     scores = pairwise_scores(clusters_with_truth(clusters, truth))
     return scores.sort_values("block_key").reset_index(drop=True)

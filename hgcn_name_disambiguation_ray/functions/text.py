@@ -168,3 +168,16 @@ def normalized_name_key(col: pa.Array | pa.ChunkedArray) -> pa.Array:
     same = first == last
     out = np.where(same, first, np.char.add(np.char.add(first.astype(str), " "), last.astype(str)))
     return pa.array(out.astype(object), type=pa.string())
+
+
+def explode_list(col: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """list<string> column -> (flat object ndarray of values, per-row
+    lengths int64). Null lists count as empty. The shared buffer-decode
+    for every stage that explodes a list column to numpy (coentities,
+    token lists, word-vector training); stages that stay Arrow-native for
+    hashing (blocking.rep_signals) decode their own buffers instead."""
+    lens = np.asarray(
+        pc.fill_null(pc.list_value_length(col), 0).to_pandas(), dtype=np.int64
+    )
+    flat = np.asarray(pc.list_flatten(col).to_pandas(), dtype=object)
+    return flat, lens

@@ -44,6 +44,46 @@ MENTION_COLUMNS = [
     "tokens", "tokens_stemmed", "block_key",
 ]
 
+# static stage schemas, passed to checkpoint_stage so a legitimately-empty
+# stage (e.g. a shard with no blocks) round-trips its columns WITHOUT a
+# second execution of the lineage; pinned against real stage output in
+# tests/test_pipeline.py
+MENTIONS_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("mention_id", pa.string()),
+        ("name", pa.string()),
+        ("title", pa.string()),
+        ("coentities", pa.list_(pa.string())),
+        ("host", pa.string()),
+        ("year", pa.int32()),
+        ("tokens", pa.list_(pa.string())),
+        ("tokens_stemmed", pa.list_(pa.string())),
+        ("block_key", pa.string()),
+    ]
+)
+MENTIONS_EXT_SCHEMA = MENTIONS_SCHEMA.append(
+    pa.field("coentities_ext", pa.list_(pa.string()))
+)
+SCORER_SCHEMA = pa.schema(
+    [
+        ("block_key", pa.string()),
+        ("salt", pa.int32()),
+        ("mention_id", pa.string()),
+        ("cluster_id", pa.string()),
+        ("cluster_coentities", pa.list_(pa.string())),
+        ("cluster_tokens", pa.list_(pa.string())),
+    ]
+)
+CLUSTERS_SCHEMA = pa.schema(
+    [
+        ("block_key", pa.string()),
+        ("salt", pa.int32()),
+        ("mention_id", pa.string()),
+        ("cluster_id", pa.string()),
+    ]
+)
+
 
 def extract_mentions(pages: Dataset, cfg: LinkageConfig | None = None) -> Dataset:
     """pages -> mentions: extract, tokenize, block keys. Stateless stages."""
@@ -74,18 +114,26 @@ def run_linkage(
     cfg: LinkageConfig | None = None,
     checkpoint_dir: str | None = None,
     lineage_token: str = "",
+    mentions: Dataset | None = None,
 ) -> Dataset:
-    """pages Dataset -> clusters Dataset(block_key, salt, mention_id, cluster_id)."""
+    """pages Dataset -> clusters Dataset(block_key, salt, mention_id, cluster_id).
+
+    `mentions` lets a caller that already extracted+materialized the
+    mention table (run_linkage_artifact trains word vectors on it) hand
+    it in so the expensive parse stage runs once, not twice; it bypasses
+    the mentions checkpoint, so pair it with a matching lineage_token."""
     cfg = cfg or LinkageConfig()
 
-    if checkpoint_dir:
-        mentions = checkpoint_stage(
-            lambda: extract_mentions(pages, cfg),
-            f"{checkpoint_dir}/mentions",
-            fingerprint("mentions-v1", lineage_token, cfg),
-        )
-    else:
-        mentions = extract_mentions(pages, cfg).materialize()
+    if mentions is None:
+        if checkpoint_dir:
+            mentions = checkpoint_stage(
+                lambda: extract_mentions(pages, cfg),
+                f"{checkpoint_dir}/mentions",
+                fingerprint("mentions-v1", lineage_token, cfg),
+                schema=MENTIONS_SCHEMA,
+            )
+        else:
+            mentions = extract_mentions(pages, cfg).materialize()
 
     if cfg.cross_merge == "title":
         # artifact regime: derive the 2-hop collaborator column before
@@ -98,6 +146,7 @@ def run_linkage(
                 lambda: extend_coentities(base, cfg),
                 f"{checkpoint_dir}/mentions_ext",
                 fingerprint("mentions-ext-v1", lineage_token, cfg),
+                schema=MENTIONS_EXT_SCHEMA,
             )
         else:
             mentions = extend_coentities(base, cfg).materialize()
@@ -136,6 +185,7 @@ def run_linkage(
             score,
             f"{checkpoint_dir}/clusters",
             fingerprint("clusters-v1", lineage_token, cfg, sorted(salt_map.items())),
+            schema=SCORER_SCHEMA,
         )
     else:
         clusters = score()
@@ -202,21 +252,34 @@ def run_linkage_artifact(
     code path (`name_disambiguation.py:61-108` = our default config).
     Measured on the 110-name Arnetminer corpus: macro F1 0.609 (faithful
     default) -> ~0.76 (this regime); BASELINE.md "Real-data conformance".
+
+    Model caching is keyed on `lineage_token` (the file lands at
+    `model_path.<fingerprint(token, dim)>`): without a token every call
+    retrains, so a regenerated corpus can never be silently served by
+    vectors trained on the previous one — the stale-cache failure the
+    IVF index is also keyed against.
     """
     import os
 
     from hgcn_name_disambiguation_ray.state.wordvec import train_word_vectors
 
     cfg = cfg or LinkageConfig()
-    if retrain or not os.path.exists(model_path):
+    if lineage_token:
+        actual_path = f"{model_path}.{fingerprint('w2v-v1', lineage_token, cfg.feature_dim)[:16]}"
+        need_train = retrain or not os.path.exists(actual_path)
+    else:
+        actual_path = model_path
+        need_train = True  # no lineage to trust a cached model against
+    mentions: Dataset | None = None
+    if need_train:
         mentions = extract_mentions(pages, cfg).materialize()
-        train_word_vectors(mentions, model_path, tokens_col="tokens",
+        train_word_vectors(mentions, actual_path, tokens_col="tokens",
                            dim=cfg.feature_dim)
     import dataclasses
 
-    cfg = dataclasses.replace(cfg, cross_merge="title", word2vec_path=model_path)
+    cfg = dataclasses.replace(cfg, cross_merge="title", word2vec_path=actual_path)
     return run_linkage(pages, cfg, checkpoint_dir=checkpoint_dir,
-                       lineage_token=lineage_token)
+                       lineage_token=lineage_token, mentions=mentions)
 
 
 def run_linkage_sharded(
@@ -252,6 +315,7 @@ def run_linkage_sharded(
         lambda: extract_mentions(pages, cfg),
         f"{checkpoint_dir}/mentions",
         fingerprint("mentions-v1", lineage_token, cfg),
+        schema=MENTIONS_SCHEMA,
     )
     if cfg.cross_merge == "title":
         from hgcn_name_disambiguation_ray.stages.coent import extend_coentities
@@ -261,6 +325,7 @@ def run_linkage_sharded(
             lambda: extend_coentities(base, cfg),
             f"{checkpoint_dir}/mentions_ext",
             fingerprint("mentions-ext-v1", lineage_token, cfg),
+            schema=MENTIONS_EXT_SCHEMA,
         )
     counts = block_counts(mentions, min_count=cfg.salt_cap)
     salt_map = make_salt_map(counts, cfg.salt_cap)
@@ -303,6 +368,7 @@ def run_linkage_sharded(
             lambda: clusters.map_batches(project, batch_format="pyarrow"),
             os.path.join(checkpoint_dir, f"shard={s}"),
             f"{base_lineage}:{s}",
+            schema=CLUSTERS_SCHEMA,
         )
         done.append(s)
 

@@ -35,6 +35,7 @@ def checkpoint_stage(
     stage_dir: str,
     lineage: str,
     read_fn=None,
+    schema=None,
 ) -> Dataset:
     """Run-or-resume one stage.
 
@@ -42,6 +43,14 @@ def checkpoint_stage(
     stage_dir:  directory for this stage's parquet + manifest.
     lineage:    fingerprint string; mismatch invalidates the checkpoint.
     read_fn:    optional custom reader (default ray.data.read_parquet).
+    schema:     optional pyarrow.Schema of the stage output. Pass it when
+                the schema is statically known: a stage that legitimately
+                produces ZERO rows writes no parquet, Ray drops empty
+                blocks before any downstream observer, and asking the
+                consumed lazy plan for its schema re-executes the whole
+                lineage (and still learns nothing) — the explicit schema
+                is the only way an empty checkpoint both round-trips its
+                columns and costs a single execution.
     """
     import ray.data as rd
 
@@ -75,14 +84,21 @@ def checkpoint_stage(
         # empty dataset with the original columns (a schemaless
         # rd.from_items([]) breaks downstream select_columns/groupby —
         # e.g. an empty mentions checkpoint in run_linkage_sharded)
-        schema = ds.schema(fetch_if_missing=True)
-        if schema is not None:
-            import pyarrow as pa
-            import pyarrow.parquet as pq
+        import pyarrow as pa
+        import pyarrow.parquet as pq
 
-            arrow_schema = getattr(schema, "base_schema", None) or pa.schema(
-                list(zip(schema.names, schema.types))
-            )
+        arrow_schema = schema
+        if arrow_schema is None:
+            # last resort for callers without a static schema: this
+            # RE-EXECUTES the consumed lazy plan (Ray caches nothing for
+            # un-materialized lineage), and for a pipeline whose empty
+            # blocks were all dropped it may still come back empty-handed
+            s = ds.schema(fetch_if_missing=True)
+            if s is not None and s.names:
+                arrow_schema = getattr(s, "base_schema", None) or pa.schema(
+                    list(zip(s.names, s.types))
+                )
+        if arrow_schema is not None:
             pq.write_table(
                 arrow_schema.empty_table(), os.path.join(tmp_dir, "empty.parquet")
             )

@@ -42,11 +42,9 @@ from hgcn_name_disambiguation_ray.stages.groupagg import bucketed_group_apply
 
 def _explode_coents(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     """(mention_id, coentity) flat arrays, distinct within each mention."""
-    import pyarrow.compute as pc
+    from hgcn_name_disambiguation_ray.functions.text import explode_list
 
-    col = t["coentities"]
-    lens = np.asarray(pc.fill_null(pc.list_value_length(col), 0).to_pandas(), dtype=np.int64)
-    flat = np.asarray(pc.list_flatten(col).to_pandas(), dtype=object)
+    flat, lens = explode_list(t["coentities"])
     mids = np.repeat(np.asarray(t["mention_id"].to_pandas(), dtype=object), lens)
     if len(flat) == 0:
         return mids, flat
@@ -172,10 +170,9 @@ def extend_coentities(
             )
 
         def explode(tab: pa.Table, col: str) -> tuple[np.ndarray, np.ndarray]:
-            c = tab[col]
-            lens = np.asarray(pc.fill_null(pc.list_value_length(c), 0).to_pandas(),
-                              dtype=np.int64)
-            flat = np.asarray(pc.list_flatten(c).to_pandas(), dtype=object)
+            from hgcn_name_disambiguation_ray.functions.text import explode_list
+
+            flat, lens = explode_list(tab[col])
             mids = np.repeat(
                 np.asarray(tab["mention_id"].to_pandas(), dtype=object), lens
             )

@@ -666,12 +666,16 @@ def embedding_cosine_dedup(
         )
 
     def band_fn(t: pa.Table) -> pa.Table:
+        # consumes the materialized feats stage (vectors decode from the
+        # binary blob), so the input dataset's upstream lineage executes
+        # exactly once — deriving bands from `ds` would re-run it whole
         n = t.num_rows
         if n == 0:
-            return pa.table({"doc_id": pa.array([], type=t[id_col].type),
+            return pa.table({"doc_id": pa.array([], type=t["doc_id"].type),
                              "band": pa.array([], type=pa.int32()),
                              "bucket": pa.array([], type=pa.uint64())})
-        vecs = _as_matrix(t[vec_col])
+        flat, _ = _u64_from_bin(t["vec"])
+        vecs = flat.view(np.float64).reshape(n, -1)
         rng = np.random.default_rng(seed)
         planes = rng.normal(size=(vecs.shape[1], total_planes))
         bits = ((vecs @ planes) > 0).reshape(n, n_bands, planes_per_band)
@@ -679,14 +683,14 @@ def embedding_cosine_dedup(
         keys = (bits.astype(np.uint64) * weights[None, None, :]).sum(axis=2)
         return pa.table(
             {
-                "doc_id": t[id_col].take(pa.array(np.repeat(np.arange(n), n_bands))),
+                "doc_id": t["doc_id"].take(pa.array(np.repeat(np.arange(n), n_bands))),
                 "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n)),
                 "bucket": pa.array(keys.reshape(-1), type=pa.uint64()),
             }
         )
 
     feats = ds.map_batches(feats_fn, batch_format="pyarrow").materialize()
-    band_rows = ds.map_batches(band_fn, batch_format="pyarrow")
+    band_rows = feats.map_batches(band_fn, batch_format="pyarrow")
     cand = _candidate_pairs(band_rows, max_bucket=500)
 
     def verify(t: pa.Table) -> pa.Table:

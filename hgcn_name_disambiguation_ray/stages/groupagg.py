@@ -145,23 +145,19 @@ def auto_join(
                 # left-merge batches with unmatched rows NaN-fill integer
                 # right columns to float64 while all-matched batches keep
                 # int64 — a per-batch schema mismatch Arrow rejects. Cast
-                # integer right columns up front so every batch agrees
-                # (same failure class asof_join normalizes).
-                self.cast_cols = (
-                    [
-                        c
-                        for c in self.rdf.columns
-                        if c not in on and pd.api.types.is_integer_dtype(self.rdf[c])
-                    ]
-                    if how == "left"
-                    else []
-                )
+                # the RIGHT frame's integer payload columns to pandas
+                # nullable Int64 once, so every merged batch agrees AND
+                # 64-bit values above 2^53 (hashes, wide ids) survive
+                # exactly — a float64 cast would silently round them.
+                # Casting the source frame (not merge output) also stays
+                # correct when a name collides and pandas suffixes it.
+                if how == "left":
+                    for c in self.rdf.columns:
+                        if c not in on and pd.api.types.is_integer_dtype(self.rdf[c]):
+                            self.rdf[c] = self.rdf[c].astype("Int64")
 
             def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-                out = df.merge(self.rdf, on=self.on, how=self.how)
-                for c in self.cast_cols:
-                    out[c] = out[c].astype(np.float64)
-                return out
+                return df.merge(self.rdf, on=self.on, how=self.how)
 
         return left.map_batches(
             BroadcastMerge, fn_constructor_args=(ref, on, how),

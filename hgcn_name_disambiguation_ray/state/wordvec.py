@@ -41,11 +41,9 @@ from hgcn_name_disambiguation_ray.stages.groupagg import bucketed_sum
 
 
 def _token_lists(t: pa.Table, tokens_col: str) -> tuple[np.ndarray, np.ndarray]:
-    import pyarrow.compute as pc
+    from hgcn_name_disambiguation_ray.functions.text import explode_list
 
-    col = t[tokens_col]
-    lens = np.asarray(pc.fill_null(pc.list_value_length(col), 0).to_pandas(), dtype=np.int64)
-    flat = np.asarray(pc.list_flatten(col).to_pandas(), dtype=object)
+    flat, lens = explode_list(t[tokens_col])
     offsets = np.zeros(len(lens) + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
     return flat, offsets

@@ -234,3 +234,19 @@ def test_hopping_window_count(ray_session):
 
     with pytest.raises(ValueError):
         hopping_window_count(rd.from_pandas(pd.DataFrame(rows)), "u", "t", 25, 10)
+
+
+def test_auto_join_broadcast_left_consistent_dtypes(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.groupagg import auto_join
+
+    big = 2**63 - 7  # above 2^53: a float64 roundtrip would corrupt it
+    left = rd.from_pandas(pd.DataFrame({"k": list(range(40))}))
+    right = rd.from_pandas(pd.DataFrame({"k": [0, 1], "payload": [big, 5]}))
+    out = auto_join(left, right, on=["k"], how="left").to_pandas()
+    assert len(out) == 40
+    matched = out.set_index("k")["payload"]
+    assert int(matched.loc[0]) == big  # exact, not float-rounded
+    assert matched.loc[2:].isna().all()  # unmatched rows null-fill

@@ -255,3 +255,87 @@ def test_sharded_artifact_regime_matches_unsharded(tmp_path):
     want = run_linkage(pages, cfg).to_pandas().sort_values("mention_id").reset_index(drop=True)
     # cluster ids are block-local and deterministic either way
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_empty_checkpoint_single_execution(ray_session, tmp_path):
+    """A legitimately-empty stage with a statically-declared schema must
+    execute its lineage ONCE (Ray drops empty blocks before any observer,
+    so without the explicit schema an empty checkpoint costs a second
+    full execution) and still round-trip its columns."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.sources.checkpoint import checkpoint_stage
+
+    marker_dir = str(tmp_path / "marks")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def factory():
+        ds = rd.from_pandas(pd.DataFrame({"x": list(range(100))}))
+
+        def count_and_drop(t: pa.Table) -> pa.Table:
+            # one marker file per executed batch-task invocation
+            with open(os.path.join(marker_dir, f"m{os.getpid()}_{os.urandom(4).hex()}"), "w"):
+                pass
+            return t.filter(pa.array([False] * t.num_rows))
+
+        return ds.map_batches(count_and_drop, batch_format="pyarrow")
+
+    out = checkpoint_stage(
+        factory, str(tmp_path / "ck"), lineage="L1",
+        schema=pa.schema([("x", pa.int64())]),
+    )
+    assert out.count() == 0
+    assert out.columns() == ["x"]  # schema survived (dataset-level)
+    assert out.select_columns(["x"]).count() == 0
+    n_first = len(os.listdir(marker_dir))
+    assert n_first >= 1
+    # the stage body ran exactly one pass (no post-write schema re-run);
+    # a double execution would double the marker count
+    out2 = checkpoint_stage(
+        factory, str(tmp_path / "ck"), lineage="L1",
+        schema=pa.schema([("x", pa.int64())]),
+    )
+    assert out2.count() == 0  # resume path: no new execution at all
+    assert len(os.listdir(marker_dir)) == n_first
+
+
+def test_stage_schema_constants_match_real_output(ray_session, tmp_path):
+    """The static schemas passed to checkpoint_stage must track the real
+    stage outputs — drift here would silently change what an empty
+    checkpoint round-trips."""
+    import dataclasses
+
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.config import LinkageConfig
+    from hgcn_name_disambiguation_ray.fixtures import FixtureSpec, write_fixture
+    from hgcn_name_disambiguation_ray.pipelines.linkage import (
+        CLUSTERS_SCHEMA,
+        MENTIONS_EXT_SCHEMA,
+        MENTIONS_SCHEMA,
+        SCORER_SCHEMA,
+        extract_mentions,
+        run_linkage,
+    )
+    from hgcn_name_disambiguation_ray.stages.coent import extend_coentities
+
+    paths = write_fixture(
+        FixtureSpec(n_names=2, persons_per_name=2, docs_per_person=3),
+        str(tmp_path / "fx"),
+    )
+    pages = rd.read_parquet(paths["pages"])
+    cfg = LinkageConfig()
+    m = extract_mentions(pages, cfg).materialize()
+    assert m.take_batch(1, batch_format="pyarrow").schema.equals(MENTIONS_SCHEMA)
+    ext = extend_coentities(m, cfg).take_batch(1, batch_format="pyarrow")
+    assert ext.schema.equals(MENTIONS_EXT_SCHEMA)
+    cl = run_linkage(pages, cfg).take_batch(1, batch_format="pyarrow")
+    assert cl.schema.equals(CLUSTERS_SCHEMA)
+    # scorer schema = clusters + the two merge-signal list columns
+    assert SCORER_SCHEMA.names == CLUSTERS_SCHEMA.names + [
+        "cluster_coentities", "cluster_tokens"
+    ]
