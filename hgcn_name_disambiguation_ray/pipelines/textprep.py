@@ -585,15 +585,20 @@ def bigram_counts(
         .aggregate(Sum("n", alias_name="n"))
     )
 
-    def key(t: pa.Table) -> pa.Table:
-        # count descending then bigram ascending, via one ascending sort key
+    def local_topk(t: pa.Table) -> pa.Table:
+        # count descending then bigram ascending, via one ascending sort key.
+        # After the groupby every bigram appears exactly once globally, so
+        # keeping each block's local top-k preserves every global top-k
+        # member — the final sort sees (#blocks x k) rows, not the full
+        # distinct-bigram table (which is corpus-sized at scale).
         n64 = t["n"].combine_chunks().cast(pa.int64())
-        return pa.table(
+        out = pa.table(
             {"bigram": t["bigram"], "n": n64, "neg_n": pc.negate_checked(n64)}
         )
+        return out.sort_by([("neg_n", "ascending"), ("bigram", "ascending")]).slice(0, k)
 
     return (
-        agg.map_batches(key, batch_format="pyarrow")
+        agg.map_batches(local_topk, batch_format="pyarrow")
         .sort(["neg_n", "bigram"])
         .limit(k)
         .select_columns(["bigram", "n"])
