@@ -316,10 +316,12 @@ def _q_hopping_window(sf_dir: str):
 def _q_top_orders(sf_dir: str):
     import ray.data as rd
 
+    from hgcn_name_disambiguation_ray.stages.groupagg import topk
+
     ds = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]
     )
-    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return topk(ds, ["o_totalprice", "o_orderkey"], descending=[True, False], k=10)
 
 
 def _fetch_query_vector(sf_dir: str, vec_id: int) -> np.ndarray:
@@ -586,7 +588,9 @@ def _q_top_customers(sf_dir: str):
     counts = orders.map_batches(partial, batch_format="pyarrow").groupby(
         "o_custkey"
     ).aggregate(Sum("n_orders", alias_name="n_orders"))
-    top = counts.sort(["n_orders", "o_custkey"], descending=[True, False]).limit(10).to_pandas()
+    from hgcn_name_disambiguation_ray.stages.groupagg import topk
+
+    top = topk(counts, ["n_orders", "o_custkey"], descending=[True, False], k=10).to_pandas()
     names = pd.read_parquet(os.path.join(sf_dir, "customer.parquet"))[["c_custkey", "c_name"]]
     out = top.merge(names, left_on="o_custkey", right_on="c_custkey")[
         ["o_custkey", "c_name", "n_orders"]

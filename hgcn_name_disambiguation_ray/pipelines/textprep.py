@@ -585,24 +585,18 @@ def bigram_counts(
         .aggregate(Sum("n", alias_name="n"))
     )
 
-    def local_topk(t: pa.Table) -> pa.Table:
-        # count descending then bigram ascending, via one ascending sort key.
-        # After the groupby every bigram appears exactly once globally, so
-        # keeping each block's local top-k preserves every global top-k
-        # member — the final sort sees (#blocks x k) rows, not the full
-        # distinct-bigram table (which is corpus-sized at scale).
-        n64 = t["n"].combine_chunks().cast(pa.int64())
-        out = pa.table(
-            {"bigram": t["bigram"], "n": n64, "neg_n": pc.negate_checked(n64)}
-        )
-        return out.sort_by([("neg_n", "ascending"), ("bigram", "ascending")]).slice(0, k)
+    # After the groupby every bigram appears exactly once globally, so
+    # topk's per-block prune preserves every global winner and the final
+    # sort sees (#blocks x k) rows, not the corpus-sized distinct table.
+    from hgcn_name_disambiguation_ray.stages.groupagg import topk
 
-    return (
-        agg.map_batches(local_topk, batch_format="pyarrow")
-        .sort(["neg_n", "bigram"])
-        .limit(k)
-        .select_columns(["bigram", "n"])
+    counts = agg.map_batches(
+        lambda t: pa.table(
+            {"bigram": t["bigram"], "n": t["n"].combine_chunks().cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
     )
+    return topk(counts, ["n", "bigram"], descending=[True, False], k=k)
 
 
 def char_quantiles(

@@ -414,3 +414,25 @@ def hopping_window_count(
         ),
         batch_format="pyarrow",
     )
+
+
+def topk(
+    ds: Dataset, cols: list[str], descending: list[bool], k: int
+) -> Dataset:
+    """Global EXACT top-k by a lexicographic key: every block prunes to
+    its local top-k first (a block's non-top-k rows can never enter the
+    global top-k), so the all-to-all sort sees (#blocks x k) rows instead
+    of the full table — the difference between a bounded merge and a
+    corpus-wide sort at scale."""
+    order = [
+        (c, "descending" if d else "ascending") for c, d in zip(cols, descending)
+    ]
+
+    def prune(t: pa.Table) -> pa.Table:
+        return t.sort_by(order).slice(0, k)
+
+    return (
+        ds.map_batches(prune, batch_format="pyarrow")
+        .sort(cols, descending=descending)
+        .limit(k)
+    )

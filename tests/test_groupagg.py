@@ -250,3 +250,17 @@ def test_auto_join_broadcast_left_consistent_dtypes(ray_session):
     matched = out.set_index("k")["payload"]
     assert int(matched.loc[0]) == big  # exact, not float-rounded
     assert matched.loc[2:].isna().all()  # unmatched rows null-fill
+
+
+def test_topk_exact_across_blocks(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.groupagg import topk
+
+    # many blocks; global top-5 spans several of them; ties break by id
+    df = pd.DataFrame({"id": list(range(200)), "v": [i % 50 for i in range(200)]})
+    ds = rd.from_pandas(df).repartition(16)
+    out = topk(ds, ["v", "id"], descending=[True, False], k=5).to_pandas()
+    expect = df.sort_values(["v", "id"], ascending=[False, True]).head(5)
+    assert out[["v", "id"]].values.tolist() == expect[["v", "id"]].values.tolist()
