@@ -1103,6 +1103,47 @@ def _q_group_topk_chars(sf_dir: str):
     )
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 97 == 0 stand in for
+    the eval set (small side, broadcast once); every other doc gets its
+    overlapping-3-gram count vs that set plus a contaminated flag."""
+    from hgcn_name_disambiguation_ray.stages.dedup import decontaminate
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def split(is_bench: bool):
+        def body(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t["doc_id"].to_pandas(), dtype=np.int64)
+            m = (ids % 97 == 0) == is_bench
+            return t.filter(pa.array(m))
+
+        return body
+
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    corpus = docs.map_batches(split(False), batch_format="pyarrow")
+    return decontaminate(corpus, bench, n=3)
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Corpus mixing: deterministic 20-docs-per-language cap (Knuth-hash
+    ranked, pure function of doc_id — identical at any cluster size)."""
+    from hgcn_name_disambiguation_ray.stages.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(sf_dir, columns=["lang", "doc_id"]), "lang", 20
+    )
+
+
+def _q_doc_chunks(sf_dir: str):
+    """Context-window chunking: 32-token windows with 8-token overlap,
+    1-to-n fan-out inside one map_batches (Arrow take + binary_join)."""
+    from hgcn_name_disambiguation_ray.pipelines.textprep import doc_chunks
+
+    return doc_chunks(
+        _docs(sf_dir, columns=["doc_id", "text"]), chunk_tokens=32, overlap=8
+    )
+
+
 def _q_linkage_sharded(sf_dir: str):
     """The per-partition-resumable linkage path over the pages fixture:
     block-key shards checkpoint independently (kill/resume covered in
@@ -1236,6 +1277,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "sampled_docs": _q_sampled_docs,
         "group_topk_chars": _q_group_topk_chars,
+        "decontaminate": _q_decontaminate,
+        "stratified_sample": _q_stratified_sample,
+        "doc_chunks": _q_doc_chunks,
         "majority_assignment": _q_majority_assignment,
         "closure_components": _q_closure_components,
         "union_names": _q_union_names,
@@ -1514,6 +1558,48 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, doc_id, n_chars FROM documents "
             "QUALIFY row_number() OVER (PARTITION BY lang "
             "ORDER BY n_chars DESC, doc_id) <= 3"
+        ),
+        "decontaminate": (
+            # 3-gram shingles (same whole-doc fallback for short docs as
+            # the dedup family); benchmark = doc_id % 97 == 0; overlap =
+            # corpus shingle OCCURRENCES matching the benchmark's
+            # DISTINCT shingle set
+            "WITH toks AS (SELECT doc_id, list_filter(string_split("
+            "regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), "
+            "x -> length(x) > 0) AS tk FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN "
+            "list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || "
+            "tk[i+1] || ' ' || tk[i+2]) ELSE [array_to_string(tk, ' ')] END "
+            "AS shingles FROM toks WHERE len(tk) > 0), "
+            "occ AS (SELECT doc_id, unnest(shingles) AS s FROM sh), "
+            "bench AS (SELECT DISTINCT s FROM occ WHERE doc_id % 97 = 0), "
+            "corpus AS (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0), "
+            "hits AS (SELECT o.doc_id, count(*) AS k FROM occ o "
+            "JOIN bench b USING (s) WHERE o.doc_id % 97 <> 0 GROUP BY 1) "
+            "SELECT c.doc_id, coalesce(h.k, 0) AS overlap_ngrams, "
+            "CAST(coalesce(h.k, 0) > 0 AS BIGINT) AS contaminated "
+            "FROM corpus c LEFT JOIN hits h USING (doc_id)"
+        ),
+        "stratified_sample": (
+            "SELECT lang, doc_id FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY lang "
+            "ORDER BY ((doc_id + 0) * 2654435761) % 4294967296 DESC, doc_id) "
+            "<= 20"
+        ),
+        "doc_chunks": (
+            # 32-token windows, stride 24; last chunk = remainder; empty
+            # docs emit nothing. DuckDB list slice is 1-based inclusive.
+            "WITH toks AS (SELECT doc_id, list_filter(string_split("
+            "regexp_replace(text, '\\s+', ' ', 'g'), ' '), "
+            "x -> length(x) > 0) AS tk FROM documents), "
+            "base AS (SELECT doc_id, tk, len(tk) AS L FROM toks WHERE len(tk) > 0), "
+            "ch AS (SELECT doc_id, tk, L, unnest(range(0, CASE WHEN L <= 32 "
+            "THEN 1 ELSE CAST(ceil((L - 32) / 24.0) AS BIGINT) + 1 END)) AS "
+            "chunk_id FROM base) "
+            "SELECT doc_id, chunk_id, LEAST(32, L - chunk_id*24) AS n_tokens, "
+            "array_to_string(tk[CAST(chunk_id*24 + 1 AS BIGINT):"
+            "CAST(chunk_id*24 + LEAST(32, L - chunk_id*24) AS BIGINT)], ' ') "
+            "AS chunk_text FROM ch"
         ),
         "minhash_dedup": _PLANTED_DEDUP_SQL,
         "simhash_dedup": _PLANTED_DEDUP_SQL,

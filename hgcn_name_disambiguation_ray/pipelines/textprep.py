@@ -648,3 +648,78 @@ def char_quantiles(
     return rd.from_arrow(
         pa.table({"q_milli": pa.array(q_milli), "value": pa.array(picked)})
     )
+
+
+def doc_chunks(
+    ds: Dataset,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Context-window chunking: split each doc into overlapping
+    fixed-size token windows (the standard pretraining-corpus step that
+    turns long documents into model-sized sequences). Chunk i covers
+    tokens [i*stride, i*stride + chunk_tokens) with stride =
+    chunk_tokens - overlap; the last chunk is the remainder; empty docs
+    emit no chunks. 1-to-n row fan-out inside one map_batches — no
+    shuffle, no Python loop: the window expansion is numpy index
+    arithmetic and the chunk text is rebuilt with ONE Arrow take +
+    binary_join over the flat token values."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def body(t: pa.Table) -> pa.Table:
+        from hgcn_name_disambiguation_ray.stages.dedup import _grouped_arange
+
+        col = _fill(t[text_col])
+        parts = pc.split_pattern_regex(pc.fill_null(col, ""), pattern=r"\s+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        off = parts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = parts.values
+        # drop empty tokens (leading/trailing whitespace runs)
+        vlen = pc.binary_length(vals).to_numpy(zero_copy_only=False)
+        keep = vlen > 0
+        cum = np.zeros(len(vals) + 1, dtype=np.int64)
+        np.cumsum(keep, out=cum[1:])
+        vals = vals.filter(pa.array(keep))
+        off = cum[off] - cum[off[0]]
+
+        L = np.diff(off)
+        n_chunks = np.where(
+            L == 0,
+            0,
+            np.where(L <= chunk_tokens, 1, (L - chunk_tokens + stride - 1) // stride + 1),
+        ).astype(np.int64)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=t[id_col].type),
+                    "chunk_id": pa.array([], type=pa.int64()),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "chunk_text": pa.array([], type=pa.string()),
+                }
+            )
+        doc_idx = np.repeat(np.arange(len(L), dtype=np.int64), n_chunks)
+        chunk_ord = _grouped_arange(n_chunks)
+        start = chunk_ord * stride
+        clen = np.minimum(chunk_tokens, L[doc_idx] - start)
+        gather = np.repeat(off[:-1][doc_idx] + start, clen) + _grouped_arange(clen)
+        new_off = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(clen, out=new_off[1:])
+        chunk_lists = pa.ListArray.from_arrays(
+            pa.array(new_off.astype(np.int32)), vals.take(pa.array(gather))
+        )
+        return pa.table(
+            {
+                id_col: t[id_col].take(pa.array(doc_idx)),
+                "chunk_id": pa.array(chunk_ord, type=pa.int64()),
+                "n_tokens": pa.array(clen, type=pa.int64()),
+                "chunk_text": pc.binary_join(chunk_lists, " "),
+            }
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow")

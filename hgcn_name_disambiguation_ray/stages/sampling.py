@@ -54,3 +54,32 @@ def deterministic_sample(
         return t.filter(pa.array(keep))
 
     return ds.map_batches(body, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds: Dataset,
+    group_col: str,
+    n_per_group: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> Dataset:
+    """Deterministic n-per-group sample (corpus mixing / per-language or
+    per-source caps): within each group, keep the n rows ranked first by
+    (Knuth hash of id DESC, id ASC) — a pure function of the row, so the
+    sample is identical at every cluster size and replicable in SQL.
+
+    Scale shape: rides `group_topk`'s hash-bucketed shuffle (groups
+    co-locate by key hash, head(n) vectorized per bucket) — never a
+    global sort or a per-group Ray dispatch."""
+    from hgcn_name_disambiguation_ray.stages.groupagg import group_topk
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pandas(), dtype=np.int64)
+        h = split_hash(ids, seed).astype(np.int64)  # < 2^32: int64-safe
+        return t.append_column("__h", pa.array(h, type=pa.int64()))
+
+    out = group_topk(
+        ds.map_batches(add_hash, batch_format="pyarrow"),
+        keys=[group_col], sort_col="__h", k=n_per_group, tie_cols=[id_col],
+    )
+    return out.drop_columns(["__h"])

@@ -62,3 +62,39 @@ def test_group_topk_matches_pandas():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["g", "id", "v"]], want[["g", "id", "v"]])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stratified_sample_per_group_cap_and_determinism():
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.sampling import (
+        split_hash,
+        stratified_sample,
+    )
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(3000, dtype=np.int64),
+            "lang": rng.choice(["en", "de", "fr"], size=3000),
+        }
+    )
+    out = stratified_sample(rd.from_pandas(df), "lang", 10).to_pandas()
+    assert out.groupby("lang").size().eq(10).all()
+    assert "__h" not in out.columns
+    # matches the explicit pandas rank by (knuth hash desc, id asc)
+    df2 = df.assign(h=split_hash(df["doc_id"].to_numpy()).astype(np.int64))
+    exp = (
+        df2.sort_values(["h", "doc_id"], ascending=[False, True], kind="stable")
+        .groupby("lang")
+        .head(10)
+    )
+    assert set(map(tuple, out[["lang", "doc_id"]].itertuples(index=False))) == set(
+        map(tuple, exp[["lang", "doc_id"]].itertuples(index=False))
+    )
+    # row-order independence
+    out2 = stratified_sample(
+        rd.from_pandas(df.sample(frac=1.0, random_state=3)), "lang", 10
+    ).to_pandas()
+    assert set(out2["doc_id"]) == set(out["doc_id"])

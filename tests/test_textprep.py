@@ -246,3 +246,57 @@ def test_char_quantiles_exact_ranks(ray_session):
     ).to_pandas()
     got = dict(zip(out["q_milli"], out["value"]))
     assert got == {100: 1, 250: 3, 500: 5, 900: 9, 1000: 10}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_chunks_windows_and_remainder():
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.pipelines.textprep import doc_chunks
+
+    words = [f"w{i}" for i in range(57)]
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [" ".join(words), "short doc", "  "],
+        }
+    )
+    out = (
+        doc_chunks(rd.from_pandas(df), chunk_tokens=32, overlap=8)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    # 57 tokens, stride 24 -> chunks at 0, 24, 48 (remainder 9)
+    d1 = out[out.doc_id == 1]
+    assert d1["chunk_id"].tolist() == [0, 1, 2]
+    assert d1["n_tokens"].tolist() == [32, 32, 9]
+    assert d1.iloc[0]["chunk_text"] == " ".join(words[0:32])
+    assert d1.iloc[1]["chunk_text"] == " ".join(words[24:56])
+    assert d1.iloc[2]["chunk_text"] == " ".join(words[48:57])
+    # short doc -> one whole chunk; whitespace-only doc -> no chunks
+    d2 = out[out.doc_id == 2]
+    assert d2["chunk_text"].tolist() == ["short doc"]
+    assert (out.doc_id == 3).sum() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_chunks_overlap_reconstruction():
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.pipelines.textprep import doc_chunks
+
+    words = [f"t{i}" for i in range(100)]
+    df = pd.DataFrame({"doc_id": [7], "text": [" ".join(words)]})
+    out = (
+        doc_chunks(rd.from_pandas(df), chunk_tokens=16, overlap=4)
+        .to_pandas()
+        .sort_values("chunk_id")
+    )
+    # dropping each chunk's first `overlap` tokens (except chunk 0)
+    # reconstructs the document exactly
+    rebuilt: list[str] = []
+    for _, r in out.iterrows():
+        toks = r["chunk_text"].split(" ")
+        rebuilt.extend(toks if r["chunk_id"] == 0 else toks[4:])
+    assert rebuilt == words
