@@ -1144,6 +1144,27 @@ def _q_doc_chunks(sf_dir: str):
     )
 
 
+def _q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table (k=8, 5
+    iterations, deterministic Knuth-hash init). no_oracle: an iterative
+    float64 fixpoint is not SQL-expressible; pinned instead by exact
+    parity with a single-process reference Lloyd run and by
+    partitioning-invariance (same model and assignment at 2 vs 16
+    blocks) in tests/test_similarity.py."""
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    centroids = kmeans_fit(ds, k=8, iters=5)
+    return kmeans_assign(ds, centroids)
+
+
 def _q_linkage_sharded(sf_dir: str):
     """The per-partition-resumable linkage path over the pages fixture:
     block-key shards checkpoint independently (kill/resume covered in
@@ -1280,6 +1301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
         "doc_chunks": _q_doc_chunks,
+        "kmeans_clusters": _q_kmeans_clusters,
         "majority_assignment": _q_majority_assignment,
         "closure_components": _q_closure_components,
         "union_names": _q_union_names,

@@ -312,3 +312,119 @@ def ivf_topk(
         sample_rows=sample_rows, seed=seed,
     )
     return idx.query(queries, k=k, nprobe=nprobe)
+
+
+# --------------------------------------------------------------------------
+# distributed k-means (Lloyd) over an embedding column
+# --------------------------------------------------------------------------
+
+def _kmeans_seed_centroids(
+    ds: Dataset, k: int, vec_col: str, id_col: str
+) -> np.ndarray:
+    """Deterministic, partitioning-independent init: the k rows with the
+    smallest Knuth hash of their id (ties by id). Each batch emits only
+    its local k smallest, so the driver sees <= k * n_blocks tiny rows."""
+    from hgcn_name_disambiguation_ray.stages.sampling import split_hash
+
+    def local(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pandas(), dtype=np.int64)
+        if len(ids) == 0:
+            return pa.table({"h": pa.array([], type=pa.int64()),
+                             "id": pa.array([], type=pa.int64()),
+                             "v": pa.array([], type=pa.list_(pa.float64()))})
+        h = split_hash(ids).astype(np.int64)
+        order = np.lexsort((ids, h))[:k]
+        m = _as_matrix(t[vec_col])[order]
+        return pa.table({"h": pa.array(h[order]), "id": pa.array(ids[order]),
+                         "v": pa.array(list(m), type=pa.list_(pa.float64()))})
+
+    rows = ds.map_batches(local, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (r["h"], r["id"]))
+    return np.array([np.asarray(r["v"], dtype=np.float64) for r in rows[:k]])
+
+
+def kmeans_fit(
+    ds: Dataset,
+    k: int,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Distributed Lloyd's algorithm: centroids (small state) broadcast
+    via ray.put each iteration; every batch emits k partial rows
+    (cluster, count, vector sum), the driver reduces k * n_blocks tiny
+    rows and updates. The dataset itself never leaves the object store —
+    the driver's working set is O(k * d * n_blocks) per iteration
+    regardless of corpus size. Empty clusters keep their old centroid.
+
+    Determinism: init is a pure function of the ids, distances are exact
+    float64, so the fitted centroids match a single-process Lloyd run to
+    summation-order rounding (tested bit-close + assignment-identical
+    across different partitionings)."""
+    C = _kmeans_seed_centroids(ds, k, vec_col, id_col)
+    if len(C) < k:
+        return C
+
+    for _ in range(iters):
+        ref = ray.put(C)
+
+        def partial(t: pa.Table) -> pa.Table:
+            Cb = ray.get(ref)
+            X = _as_matrix(t[vec_col])
+            if X.shape[0] == 0:
+                return pa.table({"c": pa.array([], type=pa.int64()),
+                                 "n": pa.array([], type=pa.int64()),
+                                 "s": pa.array([], type=pa.list_(pa.float64()))})
+            a = np.argmin(
+                -2.0 * (X @ Cb.T) + (Cb * Cb).sum(axis=1)[None, :], axis=1
+            )
+            counts = np.bincount(a, minlength=len(Cb))
+            sums = np.zeros_like(Cb)
+            np.add.at(sums, a, X)
+            used = counts > 0
+            return pa.table(
+                {
+                    "c": pa.array(np.flatnonzero(used).astype(np.int64)),
+                    "n": pa.array(counts[used].astype(np.int64)),
+                    "s": pa.array(list(sums[used]), type=pa.list_(pa.float64())),
+                }
+            )
+
+        rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros_like(C)
+        # reduce in a deterministic order (cluster, count) so the update
+        # itself does not depend on block arrival order
+        for r in sorted(rows, key=lambda r: (r["c"], r["n"])):
+            counts[r["c"]] += r["n"]
+            sums[r["c"]] += np.asarray(r["s"], dtype=np.float64)
+        nz = counts > 0
+        C = C.copy()
+        C[nz] = sums[nz] / counts[nz, None]
+    return C
+
+
+def kmeans_assign(
+    ds: Dataset,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Dataset:
+    """(id, cluster): nearest-centroid assignment, one matmul per batch
+    against the broadcast centroid matrix."""
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    class Assign:
+        def __init__(self):
+            self.C = ray.get(ref)
+            self.bias = (self.C * self.C).sum(axis=1)[None, :]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            X = _as_matrix(t[vec_col])
+            if X.shape[0] == 0:
+                return pa.table({id_col: pa.array([], type=pa.int64()),
+                                 "cluster": pa.array([], type=pa.int64())})
+            a = np.argmin(-2.0 * (X @ self.C.T) + self.bias, axis=1)
+            return pa.table({id_col: t[id_col], "cluster": pa.array(a.astype(np.int64))})
+
+    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))

@@ -76,3 +76,74 @@ def test_ivf_index_prunes_io(emb_ds, tmp_path):
     out2 = idx2.query(vecs[[5]], k=5, nprobe=2).to_pandas().sort_values("rank")
     assert out1["vec_id"].tolist() == out2["vec_id"].tolist()
     assert out1["vec_id"].iloc[0] == 5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_matches_single_process_reference():
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.sampling import split_hash
+    from hgcn_name_disambiguation_ray.stages.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    rng = np.random.default_rng(11)
+    n, d, k = 600, 16, 6
+    X = np.concatenate(
+        [rng.normal(loc=3.0 * j, scale=0.4, size=(n // k, d)) for j in range(k)]
+    )
+    ids = np.arange(n, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(X)})
+    ds = rd.from_pandas(df)
+
+    C = kmeans_fit(ds, k, iters=8)
+    got = (
+        kmeans_assign(ds, C).to_pandas().sort_values("vec_id")["cluster"].to_numpy()
+    )
+
+    # single-process reference Lloyd with the SAME hash init
+    h = split_hash(ids).astype(np.int64)
+    Cr = X[np.lexsort((ids, h))[:k]].astype(np.float64).copy()
+    for _ in range(8):
+        a = np.argmin(((X[:, None, :] - Cr[None, :, :]) ** 2).sum(-1), axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                Cr[j] = X[m].mean(0)
+    exp = np.argmin(((X[:, None, :] - Cr[None, :, :]) ** 2).sum(-1), axis=1)
+
+    assert np.allclose(C, Cr, atol=1e-8)
+    assert (got == exp).all()
+    # well-separated planted blobs: each fitted cluster is label-pure
+    truth = np.repeat(np.arange(k), n // k)
+    for j in range(k):
+        m = got == j
+        assert m.any() and len(np.unique(truth[m])) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_partitioning_invariant():
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(400, dtype=np.int64),
+            "embedding": list(rng.normal(size=(400, 8))),
+        }
+    )
+    outs = []
+    for parts in (2, 16):
+        ds = rd.from_pandas(df).repartition(parts)
+        C = kmeans_fit(ds, 5, iters=5)
+        outs.append(
+            kmeans_assign(ds, C).to_pandas().sort_values("vec_id")["cluster"].to_numpy()
+        )
+    # different block boundaries -> same model, same assignment
+    assert (outs[0] == outs[1]).all()
