@@ -1144,6 +1144,55 @@ def _q_doc_chunks(sf_dir: str):
     )
 
 
+def _q_audio_features(sf_dir: str):
+    """REAL audio decode (stdlib RIFF/WAV parse — unlike the image/video
+    stubs, no codec library is needed for PCM) + genuine DSP features.
+    Payloads are deterministic sine WAVs synthesized from doc_id, so the
+    known tone frequency rides in the output (freq_hz) next to the
+    measured spectral centroid — the hard signal is integral: centroid
+    tracks the tone within 5% on every row (pinned in
+    tests/test_multimodal.py). no_oracle: WAV framing + FFT are not
+    SQL-expressible."""
+    from hgcn_name_disambiguation_ray.stages.multimodal import (
+        decode_audio_features,
+        synth_wav,
+    )
+
+    docs = _docs(sf_dir, columns=["doc_id"]).limit(100)
+
+    def to_clips(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_pandas(), dtype=np.int64)
+        payloads = []
+        for i in ids:
+            freq = 200.0 + float(i % 20) * 40.0
+            n = 8000 * 200 // 1000
+            tt = np.arange(n) / 8000.0
+            payloads.append(
+                synth_wav(np.round(np.sin(2 * np.pi * freq * tt) * 0.5 * 32767), 8000)
+            )
+        return pa.table(
+            {
+                "item_id": pa.array([f"clip-{i}" for i in ids], type=pa.string()),
+                "freq_hz": pa.array((200 + (ids % 20) * 40).astype(np.int64)),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "mime": pa.array(["audio/wav"] * len(ids), type=pa.string()),
+            }
+        )
+
+    clips = docs.map_batches(to_clips, batch_format="pyarrow")
+    feats = decode_audio_features(
+        clips.select_columns(["item_id", "payload", "mime"])
+    )
+    # attach the known tone: broadcast-free since freq decodes from the id
+    def attach(t: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            [int(s.split("-")[1]) for s in t["item_id"].to_pylist()], dtype=np.int64
+        )
+        return t.append_column("freq_hz", pa.array((200 + (ids % 20) * 40).astype(np.int64)))
+
+    return feats.map_batches(attach, batch_format="pyarrow")
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd k-means over the embeddings table (k=8, 5
     iterations, deterministic Knuth-hash init). no_oracle: an iterative
@@ -1302,6 +1351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "doc_chunks": _q_doc_chunks,
         "kmeans_clusters": _q_kmeans_clusters,
+        "audio_features": _q_audio_features,
         "majority_assignment": _q_majority_assignment,
         "closure_components": _q_closure_components,
         "union_names": _q_union_names,

@@ -3,11 +3,14 @@
 Images / audio / video are opaque `binary` columns with sidecar metadata
 (mime, width/height or duration). The Ray-side plumbing — schemas, small
 batch sizes for wide rows, actor-pool stage shape, output layout — is
-real and tested; the codec calls themselves are STUBBED (this container
-ships no image/audio libraries): `DecodeImage` raises NotImplementedError
+real and tested. IMAGE/VIDEO codec calls are STUBBED (this container
+ships no image/video libraries): `DecodeImage` raises NotImplementedError
 unless `fake=True`, in which case a clearly-marked deterministic fake
 derives pseudo pixels from the payload hash so downstream stages
 (resize / feature-extract / frame-sample) can be exercised end-to-end.
+AUDIO decode is REAL: RIFF/WAV PCM parses with the stdlib `wave` module
+(`DecodeAudio`), and `AudioFeatures` computes genuine DSP (RMS,
+zero-crossing rate, FFT spectral centroid) — no stub on that path.
 """
 
 from __future__ import annotations
@@ -257,4 +260,145 @@ def sample_frames(
     return ds.map_batches(
         SampleFrames, fn_constructor_args=(n_frames, fake),
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+# --------------------------------------------------------------------------
+# audio: REAL decode (stdlib WAV), real DSP features
+# --------------------------------------------------------------------------
+
+AUDIO_SCHEMA = pa.schema(
+    [
+        ("item_id", pa.string()),
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+    ]
+)
+
+
+def synth_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 PCM samples -> a real RIFF/WAV byte payload (stdlib wave
+    writer — used by tests and fixtures; any standard player reads it)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+class DecodeAudio:
+    """Actor-pool stage: WAV payload -> mono float64 samples in [-1, 1].
+
+    Unlike the image/video stages, this decode is REAL: RIFF/WAV PCM is
+    parsed with the stdlib `wave` module (16-bit PCM, any channel count;
+    multi-channel downmixes by mean). `on_error="skip"` drops undecodable
+    rows (the web-crawl reality: truncated/corrupt files must not kill
+    the pipeline); `"raise"` propagates for curated corpora."""
+
+    def __init__(self, on_error: str = "raise"):
+        if on_error not in ("raise", "skip"):
+            raise ValueError("on_error must be 'raise' or 'skip'")
+        self.on_error = on_error
+
+    def _decode(self, payload: bytes) -> tuple[np.ndarray, int]:
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise ValueError("only 16-bit PCM WAV supported")
+            sr = w.getframerate()
+            nch = w.getnchannels()
+            raw = w.readframes(w.getnframes())
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+        if nch > 1:
+            x = x.reshape(-1, nch).mean(axis=1)
+        return x / 32768.0, sr
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, rates, rows = [], [], []
+        for item_id, payload in zip(t["item_id"].to_pylist(), t["payload"].to_pylist()):
+            try:
+                x, sr = self._decode(payload or b"")
+            except Exception:
+                if self.on_error == "skip":
+                    continue
+                raise
+            ids.append(item_id)
+            rates.append(sr)
+            rows.append(x)
+        lens = np.array([len(r) for r in rows], dtype=np.int64)
+        offsets = np.zeros(len(rows) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        flat = np.concatenate(rows) if rows else np.zeros(0, dtype=np.float64)
+        return pa.table(
+            {
+                "item_id": pa.array(ids, type=pa.string()),
+                "sample_rate": pa.array(rates, type=pa.int32()),
+                "samples": pa.ListArray.from_arrays(
+                    pa.array(offsets), pa.array(flat, type=pa.float64())
+                ),
+            }
+        )
+
+
+class AudioFeatures:
+    """Real DSP per clip (numpy only): RMS, zero-crossing rate, spectral
+    centroid via rfft. Per-row loop is inherent (ragged clip lengths,
+    one FFT per clip); everything inside a row is vectorized."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t["samples"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        base = offsets[0]
+        offsets = offsets - base
+        flat = flat[base:]
+        srs = np.asarray(t["sample_rate"].to_pylist(), dtype=np.int64)
+        n = t.num_rows
+        n_samples = np.diff(offsets)
+        rms = np.zeros(n)
+        zcr = np.zeros(n)
+        centroid = np.zeros(n)
+        for i in range(n):
+            x = flat[offsets[i] : offsets[i + 1]]
+            if len(x) == 0:
+                continue
+            rms[i] = np.sqrt(np.mean(x * x))
+            zcr[i] = np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])) if len(x) > 1 else 0.0
+            mag = np.abs(np.fft.rfft(x))
+            freqs = np.fft.rfftfreq(len(x), d=1.0 / srs[i])
+            tot = mag.sum()
+            centroid[i] = float((freqs * mag).sum() / tot) if tot > 0 else 0.0
+        return pa.table(
+            {
+                "item_id": t["item_id"],
+                "n_samples": pa.array(n_samples, type=pa.int64()),
+                "sample_rate": t["sample_rate"],
+                "duration_ms": pa.array(n_samples * 1000 // np.maximum(srs, 1), type=pa.int64()),
+                "rms_milli": pa.array(np.round(rms * 1e3).astype(np.int64)),
+                "zcr_milli": pa.array(np.round(zcr * 1e3).astype(np.int64)),
+                "centroid_hz": pa.array(np.round(centroid).astype(np.int64)),
+            }
+        )
+
+
+def decode_audio_features(
+    ds: Dataset, batch_size: int = 64, concurrency=(1, 4), on_error: str = "raise"
+) -> Dataset:
+    """WAV payload column -> per-clip DSP features. Decode is real
+    (stdlib); features quantized to integers for cross-run stability."""
+    decoded = ds.map_batches(
+        DecodeAudio, fn_constructor_args=(on_error,), batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency,
+    )
+    return decoded.map_batches(
+        AudioFeatures, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency,
     )
