@@ -1144,6 +1144,15 @@ def _q_doc_chunks(sf_dir: str):
     )
 
 
+def _q_token_freq_score(sf_dir: str):
+    """Mean corpus-frequency of each doc's tokens (integer-exact LM-
+    perplexity stand-in for crawl quality filtering); a composition of
+    vocabulary + auto_join + bucketed per-doc integer sums."""
+    from hgcn_name_disambiguation_ray.pipelines.textprep import token_freq_score
+
+    return token_freq_score(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
 def _q_audio_features(sf_dir: str):
     """REAL audio decode (stdlib RIFF/WAV parse — unlike the image/video
     stubs, no codec library is needed for PCM) + genuine DSP features.
@@ -1352,6 +1361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "kmeans_clusters": _q_kmeans_clusters,
         "audio_features": _q_audio_features,
+        "token_freq_score": _q_token_freq_score,
         "majority_assignment": _q_majority_assignment,
         "closure_components": _q_closure_components,
         "union_names": _q_union_names,
@@ -1657,6 +1667,18 @@ def oracle_sql() -> dict[str, str]:
             "QUALIFY row_number() OVER (PARTITION BY lang "
             "ORDER BY ((doc_id + 0) * 2654435761) % 4294967296 DESC, doc_id) "
             "<= 20"
+        ),
+        "token_freq_score": (
+            # integer-exact: floor(1000 * sum of corpus occurrence counts
+            # of the doc's tokens / n_tokens); docs with zero tokens drop
+            "WITH toks AS (SELECT doc_id, unnest(list_filter(string_split("
+            "regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), "
+            "x -> length(x) > 0)) AS w FROM documents), "
+            "occ AS (SELECT w, count(*) AS c FROM toks GROUP BY 1), "
+            "per AS (SELECT t.doc_id, sum(o.c) AS s, count(*) AS n "
+            "FROM toks t JOIN occ o USING (w) GROUP BY 1) "
+            "SELECT doc_id, n AS n_tokens, "
+            "CAST((1000 * s) // n AS BIGINT) AS freq_score_milli FROM per"
         ),
         "doc_chunks": (
             # 32-token windows, stride 24; last chunk = remainder; empty

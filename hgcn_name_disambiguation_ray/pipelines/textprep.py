@@ -723,3 +723,70 @@ def doc_chunks(
         )
 
     return ds.map_batches(body, batch_format="pyarrow")
+
+
+def token_freq_score(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> Dataset:
+    """Mean corpus-frequency of a doc's tokens — the cheap stand-in for
+    LM-perplexity quality filtering (docs dominated by rare/garbage
+    tokens score low; boilerplate scores high). INTEGER-exact on purpose:
+    score_milli = floor(1000 * Σ_w count(w) / n_tokens), all int64, so
+    the result is bit-identical to the SQL oracle with no float
+    summation-order hazard. (Overflow bound: Σ tf·count stays < 2^63 for
+    any corpus under ~10^9 total tokens per doc·10^9 occurrences; at
+    trillion-token scale switch the partial sums to two-limb integers.)
+
+    Composition of the engine's own operators: per-batch (doc, token, tf)
+    partials -> corpus occurrence counts via `vocabulary` -> size-probed
+    `auto_join` on the token key -> bucketed per-doc integer sums."""
+    from hgcn_name_disambiguation_ray.stages.groupagg import auto_join, bucketed_sum
+
+    def tf_pairs(t: pa.Table) -> pa.Table:
+        flat, offsets = split_ws_flat(t[text_col], lower=True)
+        ids = np.asarray(t[id_col].to_pandas(), dtype=np.int64)
+        doc = np.repeat(ids, np.diff(offsets))
+        if len(flat) == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "token": pa.array([], type=pa.string()),
+                             "tf": pa.array([], type=pa.int64())})
+        df = pd.DataFrame({id_col: doc, "token": flat.astype(str)})
+        tf = df.groupby([id_col, "token"], sort=False).size().reset_index(name="tf")
+        return pa.Table.from_pandas(tf, preserve_index=False)
+
+    pairs = ds.map_batches(tf_pairs, batch_format="pyarrow")
+    occ = vocabulary(ds, text_col=text_col).map_batches(
+        lambda t: pa.table(
+            {"token": t["token"], "c": t["n_occurrences"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = auto_join(pairs, occ, on=["token"])
+
+    def weigh(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "s": pa.array(tf * c),
+                "n_tokens": pa.array(tf),
+            }
+        )
+
+    sums = bucketed_sum(
+        joined.map_batches(weigh, batch_format="pyarrow"), [id_col], ["s", "n_tokens"]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pa.array(n),
+                "freq_score_milli": pa.array(1000 * s // n),
+            }
+        )
+
+    return sums.map_batches(score, batch_format="pyarrow")

@@ -300,3 +300,37 @@ def test_doc_chunks_overlap_reconstruction():
         toks = r["chunk_text"].split(" ")
         rebuilt.extend(toks if r["chunk_id"] == 0 else toks[4:])
     assert rebuilt == words
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_token_freq_score_ranks_common_above_rare():
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.pipelines.textprep import token_freq_score
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the the the the",          # all common
+                "the qzx the qzx",          # half rare
+                "qzx wvu qzx wvu",          # all rare
+                "   ",                      # no tokens -> dropped
+            ],
+        }
+    )
+    out = (
+        token_freq_score(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    # corpus counts: the=6, qzx=4, wvu=2
+    assert out["freq_score_milli"].tolist() == [6000, 5000, 3000]
+    assert out["n_tokens"].tolist() == [4, 4, 4]
+    assert (
+        out.loc[0, "freq_score_milli"]
+        > out.loc[1, "freq_score_milli"]
+        > out.loc[2, "freq_score_milli"]
+    )
