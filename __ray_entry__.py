@@ -1107,7 +1107,7 @@ def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination: docs with doc_id % 97 == 0 stand in for
     the eval set (small side, broadcast once); every other doc gets its
     overlapping-3-gram count vs that set plus a contaminated flag."""
-    from hgcn_name_disambiguation_ray.stages.dedup import decontaminate
+    from hgcn_name_disambiguation_ray.stages.decontam import decontaminate
 
     docs = _docs(sf_dir, columns=["doc_id", "text"])
 
@@ -1141,6 +1141,29 @@ def _q_doc_chunks(sf_dir: str):
 
     return doc_chunks(
         _docs(sf_dir, columns=["doc_id", "text"]), chunk_tokens=32, overlap=8
+    )
+
+
+def _q_approx_distinct(sf_dir: str):
+    """HyperLogLog distinct-token count next to the exact answer, with
+    the relative error as a column — the hard signal is integral to the
+    output (err_milli pinned < 30 in tests; HLL standard error at p=12
+    is ~1.6%). no_oracle: register sketches are not SQL-expressible;
+    the 'exact' column itself comes from the engine's oracle-checked
+    vocabulary operator."""
+    from hgcn_name_disambiguation_ray.pipelines.textprep import vocabulary
+    from hgcn_name_disambiguation_ray.stages.sketch import approx_distinct_tokens
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    est = approx_distinct_tokens(docs)
+    exact = vocabulary(docs).count()
+    err_milli = int(round(abs(est - exact) / max(exact, 1) * 1000))
+    return pd.DataFrame(
+        {
+            "hll_estimate": pd.Series([est], dtype=np.int64),
+            "exact_distinct": pd.Series([exact], dtype=np.int64),
+            "err_milli": pd.Series([err_milli], dtype=np.int64),
+        }
     )
 
 
@@ -1362,6 +1385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "audio_features": _q_audio_features,
         "token_freq_score": _q_token_freq_score,
+        "approx_distinct": _q_approx_distinct,
         "majority_assignment": _q_majority_assignment,
         "closure_components": _q_closure_components,
         "union_names": _q_union_names,

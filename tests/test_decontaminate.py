@@ -9,7 +9,7 @@ import pytest
 def test_decontaminate_flags_planted_overlap():
     import ray.data as rd
 
-    from hgcn_name_disambiguation_ray.stages.dedup import decontaminate
+    from hgcn_name_disambiguation_ray.stages.decontam import decontaminate
 
     bench = pd.DataFrame(
         {"doc_id": [0], "text": ["the secret eval answer is forty two exactly"]}
@@ -43,7 +43,7 @@ def test_decontaminate_flags_planted_overlap():
 def test_decontaminate_short_doc_whole_shingle_and_case():
     import ray.data as rd
 
-    from hgcn_name_disambiguation_ray.stages.dedup import decontaminate
+    from hgcn_name_disambiguation_ray.stages.decontam import decontaminate
 
     # benchmark doc shorter than n -> one whole-doc shingle; matching is
     # case-insensitive (tokenizer lowers)
