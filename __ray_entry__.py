@@ -1144,6 +1144,25 @@ def _q_doc_chunks(sf_dir: str):
     )
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Exact incremental crawl dedup: Bloom prefilter (no false
+    negatives) routes only the maybe-seen subset through the distributed
+    anti-join that resurrects false positives — output equals the plain
+    anti-join bit for bit, at O(overlap) join volume. Snapshot = docs
+    with doc_id % 3 == 0, keyed by text."""
+    from hgcn_name_disambiguation_ray.stages.sketch import incremental_dedup
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def snap_only(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_pandas(), dtype=np.int64)
+        return t.filter(pa.array(ids % 3 == 0))
+
+    snapshot = docs.map_batches(snap_only, batch_format="pyarrow")
+    out = incremental_dedup(docs, snapshot, "text")
+    return out.select_columns(["doc_id"])
+
+
 def _q_approx_distinct(sf_dir: str):
     """HyperLogLog distinct-token count next to the exact answer, with
     the relative error as a column — the hard signal is integral to the
@@ -1386,6 +1405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": _q_audio_features,
         "token_freq_score": _q_token_freq_score,
         "approx_distinct": _q_approx_distinct,
+        "incremental_dedup": _q_incremental_dedup,
         "majority_assignment": _q_majority_assignment,
         "closure_components": _q_closure_components,
         "union_names": _q_union_names,
@@ -1691,6 +1711,11 @@ def oracle_sql() -> dict[str, str]:
             "QUALIFY row_number() OVER (PARTITION BY lang "
             "ORDER BY ((doc_id + 0) * 2654435761) % 4294967296 DESC, doc_id) "
             "<= 20"
+        ),
+        "incremental_dedup": (
+            "SELECT d.doc_id FROM documents d WHERE NOT EXISTS ("
+            "SELECT 1 FROM documents s WHERE s.doc_id % 3 = 0 "
+            "AND s.text = d.text)"
         ),
         "token_freq_score": (
             # integer-exact: floor(1000 * sum of corpus occurrence counts

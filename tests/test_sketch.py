@@ -74,3 +74,61 @@ def test_approx_distinct_tokens_vs_exact_vocabulary():
     est = approx_distinct_tokens(ds)
     # tiny vocabulary -> linear-counting regime, essentially exact
     assert abs(est - exact) <= max(1, 0.03 * exact)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_no_false_negatives_and_bounded_false_positives():
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.sketch import (
+        bloom_build,
+        bloom_filter_seen,
+    )
+
+    rng = np.random.default_rng(2)
+    seen_ids = rng.choice(10**9, size=50_000, replace=False)
+    snapshot = pd.DataFrame({"doc_id": seen_ids})
+    bits = bloom_build(rd.from_pandas(snapshot).repartition(8), "doc_id")
+
+    # new crawl: half re-crawled, half genuinely new
+    new_ids = rng.choice(2 * 10**9, size=20_000, replace=False) + 10**9
+    crawl = pd.DataFrame({"doc_id": np.concatenate([seen_ids[:20_000], new_ids])})
+    out = bloom_filter_seen(rd.from_pandas(crawl), bits, "doc_id").to_pandas()
+
+    # NO false negatives: every previously-seen id dropped
+    assert not np.isin(out["doc_id"].to_numpy(), seen_ids).any()
+    # bounded false positives: >= 98% of genuinely-new rows survive
+    # (m/n = 21 bits/element here -> FP well under 1%)
+    assert len(out) >= 0.98 * len(new_ids)
+
+
+def test_bloom_build_is_partitioning_invariant():
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.sketch import bloom_build
+
+    df = pd.DataFrame({"v": np.arange(30_000, dtype=np.int64)})
+    a = bloom_build(rd.from_pandas(df).repartition(2), "v", m_bits=1 << 18)
+    b = bloom_build(rd.from_pandas(df).repartition(16), "v", m_bits=1 << 18)
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_dedup_equals_exact_anti_join():
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.sketch import incremental_dedup
+
+    rng = np.random.default_rng(6)
+    snap_texts = [f"seen doc {i} {rng.integers(1e9)}" for i in range(3000)]
+    new_texts = snap_texts[:1000] + [f"new doc {i}" for i in range(2000)]
+    snapshot = pd.DataFrame({"doc_id": np.arange(3000), "text": snap_texts})
+    new = pd.DataFrame({"doc_id": np.arange(3000), "text": new_texts})
+
+    # tiny filter (1024 bits for 3000 keys) -> false positives guaranteed;
+    # the anti-join must resurrect every one of them
+    out = incremental_dedup(
+        rd.from_pandas(new), rd.from_pandas(snapshot), "text", m_bits=1 << 10, k=3
+    ).to_pandas()
+    expected = new[~new["text"].isin(set(snap_texts))]
+    assert sorted(out["doc_id"]) == sorted(expected["doc_id"])
