@@ -666,28 +666,42 @@ def _q_sessionize(sf_dir: str):
 
 
 def _q_multimodal_features(sf_dir: str):
-    """Multimodal plumbing over deterministic fake payloads derived from
-    the documents table (no codec libs in this container; DecodeImage
-    runs its clearly-marked deterministic stub)."""
-    from hgcn_name_disambiguation_ray.stages.multimodal import decode_resize_featurize
+    """Multimodal pipeline over REAL binary PPM image payloads (decoded
+    by the engine's pure-numpy uncompressed-format parser, fake=False —
+    the stub is only for compressed codecs this container can't ship).
+    Each payload is a deterministic per-doc gradient image with varying
+    dims, so decode/resize/featurize all do real work."""
+    from hgcn_name_disambiguation_ray.stages.multimodal import (
+        decode_resize_featurize,
+        synth_ppm,
+    )
 
-    docs = _docs(sf_dir, columns=["doc_id", "text"]).limit(200)
+    docs = _docs(sf_dir, columns=["doc_id"]).limit(200)
 
     def to_items(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        texts = t["text"].to_pylist()
+        ids = np.asarray(t["doc_id"].to_pandas(), dtype=np.int64)
+        payloads = []
+        for i in ids:
+            w, h = 16 + int(i % 7), 16 + int(i % 5)
+            y, x = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [(x * 7 + i) % 256, (y * 11 + i) % 256, (x + y + i) % 256], axis=-1
+            ).astype(np.uint8)
+            payloads.append(synth_ppm(img))
         return pa.table(
             {
                 "item_id": pa.array([f"img-{i}" for i in ids], type=pa.string()),
-                "payload": pa.array([(x or "").encode()[:4096] for x in texts], type=pa.binary()),
-                "mime": pa.array(["image/fake"] * len(ids), type=pa.string()),
-                "width": pa.array([16 + (i % 7) for i in ids], type=pa.int32()),
-                "height": pa.array([16 + (i % 5) for i in ids], type=pa.int32()),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "mime": pa.array(
+                    ["image/x-portable-pixmap"] * len(ids), type=pa.string()
+                ),
+                "width": pa.array((16 + ids % 7).astype(np.int32)),
+                "height": pa.array((16 + ids % 5).astype(np.int32)),
             }
         )
 
     items = docs.map_batches(to_items, batch_format="pyarrow")
-    feats = decode_resize_featurize(items, out_w=4, out_h=4, fake=True)
+    feats = decode_resize_featurize(items, out_w=4, out_h=4, fake=False)
 
     def summarize(t: pa.Table) -> pa.Table:
         sums = [int(np.round(np.sum(f) * 1e3)) for f in t["features"].to_pylist()]

@@ -3,14 +3,16 @@
 Images / audio / video are opaque `binary` columns with sidecar metadata
 (mime, width/height or duration). The Ray-side plumbing — schemas, small
 batch sizes for wide rows, actor-pool stage shape, output layout — is
-real and tested. IMAGE/VIDEO codec calls are STUBBED (this container
-ships no image/video libraries): `DecodeImage` raises NotImplementedError
-unless `fake=True`, in which case a clearly-marked deterministic fake
-derives pseudo pixels from the payload hash so downstream stages
-(resize / feature-extract / frame-sample) can be exercised end-to-end.
-AUDIO decode is REAL: RIFF/WAV PCM parses with the stdlib `wave` module
-(`DecodeAudio`), and `AudioFeatures` computes genuine DSP (RMS,
-zero-crossing rate, FFT spectral centroid) — no stub on that path.
+real and tested. UNCOMPRESSED formats decode for REAL with no external
+library: 24-bit BMP and binary PPM images (pure-numpy parsers below)
+and RIFF/WAV PCM audio (stdlib `wave`); `AudioFeatures` computes genuine
+DSP (RMS, zero-crossing rate, FFT spectral centroid). Only COMPRESSED
+codecs (JPEG/PNG/MP4 — the container ships no imaging/video libraries)
+are stubbed: `DecodeImage` / `SampleFrames` raise NotImplementedError
+for them unless `fake=True`, in which case a clearly-marked
+deterministic fake derives pseudo pixels from the payload hash so
+downstream stages (resize / feature-extract / frame-sample) stay
+exercised end-to-end.
 """
 
 from __future__ import annotations
@@ -59,10 +61,14 @@ IMAGE_SCHEMA = pa.schema(
 class DecodeImage:
     """Actor-pool stage: payload -> decoded pixel tensor (flattened).
 
-    Real decode requires an imaging library that is not available here;
-    `fake=True` produces a DETERMINISTIC FAKE decode (seeded by the
-    payload hash) with the declared width/height so the pipeline shape
-    is testable. Swap `_decode` for a real codec in production.
+    UNCOMPRESSED formats decode for REAL (pure numpy, no library):
+    24-bit BMP and binary PPM are recognized by magic bytes (`decode_bmp`
+    / `decode_ppm` below), and the output width/height come from the
+    parsed payload, not the declared metadata. COMPRESSED codecs
+    (JPEG/PNG/...) need an imaging library this container doesn't ship:
+    with `fake=True` such payloads get a DETERMINISTIC FAKE decode
+    (seeded by the payload hash) at the declared width/height so the
+    pipeline shape stays testable; with `fake=False` they raise.
     """
 
     def __init__(self, fake: bool = False, channels: int = 3):
@@ -70,10 +76,15 @@ class DecodeImage:
         self.channels = channels
 
     def _decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        if payload.startswith(b"BM"):
+            return decode_bmp(payload)
+        if payload.startswith(b"P6"):
+            return decode_ppm(payload)
         if not self.fake:
             raise NotImplementedError(
-                "image codecs not available in this environment; "
-                "construct DecodeImage(fake=True) for the deterministic stub"
+                "compressed-image codecs not available in this environment "
+                "(BMP and binary PPM decode for real); construct "
+                "DecodeImage(fake=True) for the deterministic stub"
             )
         rng = np.random.default_rng(stable_hash64(payload.hex() if payload else ""))
         return rng.integers(0, 256, size=(height, width, self.channels), dtype=np.uint8)
@@ -84,15 +95,18 @@ class DecodeImage:
         hs = t["height"].to_pylist()
         # decode is inherently per-item (a real codec call per payload);
         # assembly is one flat buffer + offsets, no Python list roundtrip
-        pixels = [
-            self._decode(p or b"", int(w), int(h)).reshape(-1)
-            for p, w, h in zip(payloads, ws, hs)
-        ]
+        pixels = []
+        out_w, out_h = [], []
+        for p, w, h in zip(payloads, ws, hs):
+            img = self._decode(p or b"", int(w), int(h))
+            out_h.append(img.shape[0])
+            out_w.append(img.shape[1])
+            pixels.append(img.reshape(-1))
         return pa.table(
             {
                 "item_id": t["item_id"],
-                "width": t["width"],
-                "height": t["height"],
+                "width": pa.array(out_w, type=pa.int32()),
+                "height": pa.array(out_h, type=pa.int32()),
                 "pixels": _u8_list(pixels),
             }
         )
@@ -402,3 +416,73 @@ def decode_audio_features(
         AudioFeatures, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency,
     )
+
+
+# --------------------------------------------------------------------------
+# real image decode for uncompressed formats (BMP / binary PPM)
+# --------------------------------------------------------------------------
+
+def synth_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6) payload — a real image format
+    any viewer opens; used by tests/fixtures the way synth_wav is."""
+    h, w, c = pixels.shape
+    assert c == 3
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(pixels, dtype=np.uint8).tobytes()
+
+
+def synth_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> uncompressed 24-bit bottom-up BMP payload."""
+    import struct
+
+    h, w, c = pixels.shape
+    assert c == 3
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += pixels[y, :, ::-1].tobytes()  # RGB -> BGR
+        body += b"\x00" * pad
+    data_off = 14 + 40
+    size = data_off + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, data_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(header) + dib + bytes(body)
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval 255, no comment lines) -> (h, w, 3) uint8."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    parts = payload.split(maxsplit=4)  # P6, w, h, maxval, raster
+    if len(parts) < 5 or parts[3] != b"255":
+        raise ValueError("unsupported PPM header")
+    w, h = int(parts[1]), int(parts[2])
+    raster = payload[len(payload) - h * w * 3 :]
+    if len(raster) < h * w * 3:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER) -> (h, w, 3) uint8 RGB.
+    Handles bottom-up and top-down rows and 4-byte row padding."""
+    import struct
+
+    if not payload.startswith(b"BM") or len(payload) < 54:
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3
+    need = data_off + stride * h
+    if len(payload) < need:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR->RGB
+    if h_signed > 0:
+        img = img[::-1]  # bottom-up storage
+    return img.copy()

@@ -197,3 +197,88 @@ def test_audio_features_query_centroid_tracks_tone():
     assert len(df) > 0
     err = (df["centroid_hz"] - df["freq_hz"]).abs() / df["freq_hz"]
     assert (err < 0.05).all()
+
+
+# ---------------------------------------------------------------------------
+# image: REAL decode for uncompressed formats (BMP / binary PPM)
+# ---------------------------------------------------------------------------
+
+def _gradient(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack([(x * 7) % 256, (y * 11) % 256, (x + y) % 256], axis=-1).astype(
+        np.uint8
+    )
+
+
+def test_ppm_and_bmp_roundtrip_exact():
+    from hgcn_name_disambiguation_ray.stages.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        synth_bmp,
+        synth_ppm,
+    )
+
+    img = _gradient(13, 10)  # odd width exercises BMP row padding
+    np.testing.assert_array_equal(decode_ppm(synth_ppm(img)), img)
+    np.testing.assert_array_equal(decode_bmp(synth_bmp(img)), img)
+
+
+def test_decode_image_real_formats_without_fake():
+    from hgcn_name_disambiguation_ray.stages.multimodal import (
+        DecodeImage,
+        synth_bmp,
+        synth_ppm,
+    )
+    import pyarrow as pa
+
+    img = _gradient(6, 9)
+    t = pa.table(
+        {
+            "item_id": ["ppm", "bmp"],
+            "payload": [synth_ppm(img), synth_bmp(img)],
+            # declared metadata deliberately WRONG: parsed dims must win
+            "mime": ["image/x-portable-pixmap", "image/bmp"],
+            "width": pa.array([1, 1], type=pa.int32()),
+            "height": pa.array([1, 1], type=pa.int32()),
+        }
+    )
+    out = DecodeImage(fake=False)(t)
+    assert out["width"].to_pylist() == [9, 9]
+    assert out["height"].to_pylist() == [6, 6]
+    for row in out["pixels"].to_pylist():
+        np.testing.assert_array_equal(
+            np.asarray(row, dtype=np.uint8).reshape(6, 9, 3), img
+        )
+
+
+def test_decode_image_compressed_still_raises_without_fake():
+    from hgcn_name_disambiguation_ray.stages.multimodal import DecodeImage
+
+    with pytest.raises(NotImplementedError):
+        DecodeImage(fake=False)._decode(b"\x89PNG\r\n...", 4, 4)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_real_image_pipeline_end_to_end():
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.multimodal import (
+        decode_resize_featurize,
+        synth_ppm,
+    )
+
+    # constant-color image: features = (mean per channel, std 0) exactly,
+    # surviving decode + nearest-neighbor resize untouched
+    solid = np.full((12, 8, 3), [10, 200, 30], dtype=np.uint8)
+    df = pd.DataFrame(
+        {
+            "item_id": ["solid"],
+            "payload": [synth_ppm(solid)],
+            "mime": ["image/x-portable-pixmap"],
+            "width": np.array([8], dtype=np.int32),
+            "height": np.array([12], dtype=np.int32),
+        }
+    )
+    out = decode_resize_featurize(rd.from_pandas(df), out_w=4, out_h=4, fake=False).to_pandas()
+    feats = np.asarray(out["features"].iloc[0])
+    np.testing.assert_allclose(feats, [10.0, 200.0, 30.0, 0.0, 0.0, 0.0])
