@@ -1158,6 +1158,46 @@ def _q_doc_chunks(sf_dir: str):
     )
 
 
+def _q_multiformat_source(sf_dir: str):
+    """Source-format coverage: the same rows land via ray.data.read_json
+    (JSONL) and ray.data.read_csv, union, and aggregate — checked against
+    the parquet view, so all three readers must agree. The JSONL/CSV
+    renditions are materialized once under /tmp, keyed on the parquet
+    file's (mtime, size) so regenerated fixtures re-export instead of
+    silently serving stale rows."""
+    import ray.data as rd
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = f"{st.st_mtime_ns:x}-{st.st_size:x}"
+    out_dir = f"/tmp/graft_srcfmt_{abs(hash(sf_dir)) % (1 << 32):08x}_{key}"
+    jsonl = os.path.join(out_dir, "docs.jsonl")
+    csvf = os.path.join(out_dir, "docs.csv")
+    if not (os.path.exists(jsonl) and os.path.exists(csvf)):
+        import pyarrow.parquet as pq
+
+        os.makedirs(out_dir, exist_ok=True)
+        df = pq.read_table(src, columns=["doc_id", "lang"]).to_pandas()
+        df.to_json(jsonl + ".tmp", orient="records", lines=True)
+        df.to_csv(csvf + ".tmp", index=False)
+        os.rename(jsonl + ".tmp", jsonl)
+        os.rename(csvf + ".tmp", csvf)
+
+    both = rd.read_json(jsonl).union(rd.read_csv(csvf))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate([("doc_id", "count")])
+        return g.rename_columns(["lang", "n"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        both.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 def _q_incremental_dedup(sf_dir: str):
     """Exact incremental crawl dedup: Bloom prefilter (no false
     negatives) routes only the maybe-seen subset through the distributed
@@ -1420,6 +1460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_freq_score": _q_token_freq_score,
         "approx_distinct": _q_approx_distinct,
         "incremental_dedup": _q_incremental_dedup,
+        "multiformat_source": _q_multiformat_source,
         "majority_assignment": _q_majority_assignment,
         "closure_components": _q_closure_components,
         "union_names": _q_union_names,
@@ -1730,6 +1771,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id FROM documents d WHERE NOT EXISTS ("
             "SELECT 1 FROM documents s WHERE s.doc_id % 3 = 0 "
             "AND s.text = d.text)"
+        ),
+        "multiformat_source": (
+            # the JSONL + CSV renditions each carry every documents row
+            "SELECT lang, 2 * count(*) AS n FROM documents GROUP BY lang"
         ),
         "token_freq_score": (
             # integer-exact: floor(1000 * sum of corpus occurrence counts
