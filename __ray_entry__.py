@@ -1167,10 +1167,15 @@ def _q_multiformat_source(sf_dir: str):
     silently serving stale rows."""
     import ray.data as rd
 
+    from hashlib import blake2b
+
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     key = f"{st.st_mtime_ns:x}-{st.st_size:x}"
-    out_dir = f"/tmp/graft_srcfmt_{abs(hash(sf_dir)) % (1 << 32):08x}_{key}"
+    # stable digest, not hash(): Python randomizes str hashes per process,
+    # which would mint a fresh export dir every run
+    d = blake2b(sf_dir.encode(), digest_size=4).hexdigest()
+    out_dir = f"/tmp/graft_srcfmt_{d}_{key}"
     jsonl = os.path.join(out_dir, "docs.jsonl")
     csvf = os.path.join(out_dir, "docs.csv")
     if not (os.path.exists(jsonl) and os.path.exists(csvf)):

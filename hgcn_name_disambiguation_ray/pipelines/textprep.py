@@ -679,13 +679,16 @@ def doc_chunks(
             parts = parts.combine_chunks()
         off = parts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         vals = parts.values
-        # drop empty tokens (leading/trailing whitespace runs)
+        # drop empty tokens (leading/trailing whitespace runs); after the
+        # filter, the kept element at raw position j sits at cum[j], so
+        # cum[off] — NOT rebased by cum[off[0]] — are the row offsets into
+        # the filtered child even when the list array starts mid-buffer
         vlen = pc.binary_length(vals).to_numpy(zero_copy_only=False)
         keep = vlen > 0
         cum = np.zeros(len(vals) + 1, dtype=np.int64)
         np.cumsum(keep, out=cum[1:])
         vals = vals.filter(pa.array(keep))
-        off = cum[off] - cum[off[0]]
+        off = cum[off]
 
         L = np.diff(off)
         n_chunks = np.where(

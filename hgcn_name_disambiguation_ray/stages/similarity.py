@@ -361,6 +361,11 @@ def kmeans_fit(
     float64, so the fitted centroids match a single-process Lloyd run to
     summation-order rounding (tested bit-close + assignment-identical
     across different partitionings)."""
+    # pin the input once: an iterative algorithm would otherwise re-run
+    # the whole upstream lineage (parquet scan + transforms) every
+    # iteration; the object store spills under pressure, so this is safe
+    # at scale and strictly cheaper than iters x full re-reads
+    ds = ds.materialize()
     C = _kmeans_seed_centroids(ds, k, vec_col, id_col)
     if len(C) < k:
         return C
