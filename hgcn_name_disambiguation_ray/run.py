@@ -1,0 +1,92 @@
+"""`ray job submit` entrypoint — the production launcher the north rule
+names (`ray job submit --address http://head:8265 --working-dir . --
+python -m hgcn_name_disambiguation_ray.run --input ... --output ...`).
+
+This module OWNS a Ray session only when one doesn't already exist (the
+job server initializes Ray before the script runs; local invocation
+falls back to ray.init) and only shuts down what it started — the
+library itself never touches session lifecycle.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="hgcn_name_disambiguation_ray.run",
+        description="Record-linkage over Common-Crawl-style Parquet pages",
+    )
+    p.add_argument("--input", required=True, help="pages parquet path/dir")
+    p.add_argument("--output", required=True, help="clusters output dir")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="stage/shard checkpoint root (enables resume)")
+    p.add_argument("--lineage-token", default="",
+                   help="fingerprint of the input snapshot; pair with --checkpoint-dir")
+    p.add_argument("--n-shards", type=int, default=0,
+                   help="> 0 = per-partition resumable path (run_linkage_sharded)")
+    p.add_argument("--salt-cap", type=int, default=None,
+                   help="hot-key salting threshold (LinkageConfig default otherwise)")
+    p.add_argument("--cross-merge", choices=["none", "title"], default="none",
+                   help="'title' = artifact regime (needs --word2vec-path)")
+    p.add_argument("--word2vec-path", default=None)
+    p.add_argument("--summary-json", default=None,
+                   help="also write the reference-shaped JSON cluster summary here")
+    args = p.parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init()  # job server/cluster config comes from the environment
+    try:
+        import ray.data as rd
+
+        from hgcn_name_disambiguation_ray.config import LinkageConfig
+        from hgcn_name_disambiguation_ray.pipelines.linkage import (
+            clusters_json_summary,
+            run_linkage,
+            run_linkage_sharded,
+            write_clusters,
+        )
+
+        kw = {}
+        if args.salt_cap is not None:
+            kw["salt_cap"] = args.salt_cap
+        if args.cross_merge != "none":
+            kw["cross_merge"] = args.cross_merge
+            kw["word2vec_path"] = args.word2vec_path
+        cfg = LinkageConfig(**kw)
+
+        t0 = time.time()
+        pages = rd.read_parquet(args.input)
+        if args.n_shards > 0:
+            clusters = run_linkage_sharded(
+                pages, cfg,
+                checkpoint_dir=args.checkpoint_dir or "/tmp/linkage_ckpt",
+                lineage_token=args.lineage_token, n_shards=args.n_shards,
+            )
+        else:
+            clusters = run_linkage(
+                pages, cfg, checkpoint_dir=args.checkpoint_dir,
+                lineage_token=args.lineage_token,
+            )
+        write_clusters(clusters, args.output)
+        elapsed = time.time() - t0
+        if args.summary_json:
+            summary = clusters_json_summary(rd.read_parquet(args.output))
+            with open(args.summary_json, "w") as f:
+                json.dump(summary, f)
+        print(json.dumps({"output": args.output, "wall_seconds": round(elapsed, 2)}))
+        return 0
+    finally:
+        if owns_session:
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,43 @@
+"""The ray-job-submit entrypoint (hgcn_name_disambiguation_ray.run)."""
+
+import json
+import os
+
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_main_runs_pipeline_and_respects_existing_session(tmp_path):
+    import ray
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.fixtures import FixtureSpec, write_fixture
+    from hgcn_name_disambiguation_ray.run import main
+
+    paths = write_fixture(
+        FixtureSpec(n_names=2, persons_per_name=2, docs_per_person=6),
+        str(tmp_path / "fixture"),
+    )
+    out = str(tmp_path / "clusters")
+    summary = str(tmp_path / "summary.json")
+    rc = main(
+        [
+            "--input", paths["pages"],
+            "--output", out,
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--lineage-token", "t1",
+            "--summary-json", summary,
+        ]
+    )
+    assert rc == 0
+    # the CLI must NOT have shut down the session it didn't start
+    assert ray.is_initialized()
+    clusters = rd.read_parquet(out).to_pandas()
+    n_pages = rd.read_parquet(paths["pages"]).count()
+    assert len(clusters) == n_pages  # one cluster row per page
+    assert {"block_key", "mention_id", "cluster_id"} <= set(clusters.columns)
+    with open(summary) as f:
+        js = json.load(f)
+    assert js  # reference-shaped {name: {cluster: [ids...]}}
+    # partitioned output (resumable sink)
+    assert any(p.startswith("block_prefix=") for p in os.listdir(out))
