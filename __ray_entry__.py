@@ -1183,10 +1183,13 @@ def _q_multiformat_source(sf_dir: str):
 
         os.makedirs(out_dir, exist_ok=True)
         df = pq.read_table(src, columns=["doc_id", "lang"]).to_pandas()
-        df.to_json(jsonl + ".tmp", orient="records", lines=True)
-        df.to_csv(csvf + ".tmp", index=False)
-        os.rename(jsonl + ".tmp", jsonl)
-        os.rename(csvf + ".tmp", csvf)
+        # per-process tmp names: two concurrent battery runs must not
+        # interleave writes into one .tmp and cache the corruption
+        tag = f".tmp-{os.getpid()}"
+        df.to_json(jsonl + tag, orient="records", lines=True)
+        df.to_csv(csvf + tag, index=False)
+        os.rename(jsonl + tag, jsonl)
+        os.rename(csvf + tag, csvf)
 
     both = rd.read_json(jsonl).union(rd.read_csv(csvf))
 

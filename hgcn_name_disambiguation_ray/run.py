@@ -62,18 +62,35 @@ def main(argv: list[str] | None = None) -> int:
             kw["word2vec_path"] = args.word2vec_path
         cfg = LinkageConfig(**kw)
 
+        # lineage defaults to a fingerprint of the input snapshot: an
+        # empty token + a reused checkpoint dir would otherwise serve a
+        # PREVIOUS input's checkpoints as this run's answer
+        lineage = args.lineage_token
+        if not lineage:
+            import os
+
+            try:
+                st = os.stat(args.input)
+                lineage = f"auto:{args.input}:{st.st_mtime_ns}:{st.st_size}"
+            except OSError:  # remote path (s3://...): key on the URI
+                lineage = f"auto:{args.input}"
+
         t0 = time.time()
         pages = rd.read_parquet(args.input)
         if args.n_shards > 0:
+            if not args.checkpoint_dir:
+                p.error("--n-shards requires --checkpoint-dir (shards "
+                        "checkpoint per partition; a silent shared default "
+                        "would cross-contaminate runs)")
             clusters = run_linkage_sharded(
                 pages, cfg,
-                checkpoint_dir=args.checkpoint_dir or "/tmp/linkage_ckpt",
-                lineage_token=args.lineage_token, n_shards=args.n_shards,
+                checkpoint_dir=args.checkpoint_dir,
+                lineage_token=lineage, n_shards=args.n_shards,
             )
         else:
             clusters = run_linkage(
                 pages, cfg, checkpoint_dir=args.checkpoint_dir,
-                lineage_token=args.lineage_token,
+                lineage_token=lineage,
             )
         write_clusters(clusters, args.output)
         elapsed = time.time() - t0

@@ -79,7 +79,8 @@ def bucketed_count(
     high-cardinality keys (e.g. candidate-pair counting)."""
 
     def count(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby(keys, as_index=False, sort=False).size()
+        # dropna=False: SQL GROUP BY keeps the NULL group; pandas drops it
+        out = df.groupby(keys, as_index=False, sort=False, dropna=False).size()
         return out.rename(columns={"size": out_col})
 
     return bucketed_group_apply(ds, keys, count, n_buckets)
@@ -346,7 +347,9 @@ def group_topk(
         df = df.sort_values(
             [sort_col] + tie, ascending=[False] + [True] * len(tie), kind="stable"
         )
-        return df.groupby(keys, sort=False).head(k)
+        # dropna=False: a NULL group key is a real stratum (SQL PARTITION
+        # BY keeps it); pandas would silently drop every such row
+        return df.groupby(keys, sort=False, dropna=False).head(k)
 
     return bucketed_group_apply(ds, keys, apply, n_buckets)
 
@@ -357,7 +360,7 @@ def bucketed_sum(
     """Exact per-key sums for high-cardinality keys; column names kept."""
 
     def _sum(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(keys, as_index=False, sort=False)[value_cols].sum()
+        return df.groupby(keys, as_index=False, sort=False, dropna=False)[value_cols].sum()
 
     return bucketed_group_apply(ds, keys, _sum, n_buckets)
 

@@ -71,15 +71,23 @@ class DecodeImage:
     pipeline shape stays testable; with `fake=False` they raise.
     """
 
-    def __init__(self, fake: bool = False, channels: int = 3):
+    def __init__(self, fake: bool = False, channels: int = 3, on_error: str = "raise"):
+        if on_error not in ("raise", "skip"):
+            raise ValueError("on_error must be 'raise' or 'skip'")
         self.fake = fake
         self.channels = channels
+        self.on_error = on_error
 
     def _decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
-        if payload.startswith(b"BM"):
-            return decode_bmp(payload)
-        if payload.startswith(b"P6"):
-            return decode_ppm(payload)
+        if payload.startswith(b"BM") or payload.startswith(b"P6"):
+            try:
+                return decode_bmp(payload) if payload.startswith(b"BM") else decode_ppm(payload)
+            except ValueError:
+                # a text/crawl payload can start with these 2 bytes by
+                # chance: in fake mode the stub contract must hold for
+                # ANY payload, so fall through instead of raising
+                if not self.fake:
+                    raise
         if not self.fake:
             raise NotImplementedError(
                 "compressed-image codecs not available in this environment "
@@ -96,15 +104,21 @@ class DecodeImage:
         # decode is inherently per-item (a real codec call per payload);
         # assembly is one flat buffer + offsets, no Python list roundtrip
         pixels = []
-        out_w, out_h = [], []
-        for p, w, h in zip(payloads, ws, hs):
-            img = self._decode(p or b"", int(w), int(h))
+        keep_idx, out_w, out_h = [], [], []
+        for i, (p, w, h) in enumerate(zip(payloads, ws, hs)):
+            try:
+                img = self._decode(p or b"", int(w), int(h))
+            except (ValueError, NotImplementedError):
+                if self.on_error == "skip":
+                    continue  # corrupt payload: drop the row, not the job
+                raise
+            keep_idx.append(i)
             out_h.append(img.shape[0])
             out_w.append(img.shape[1])
             pixels.append(img.reshape(-1))
         return pa.table(
             {
-                "item_id": t["item_id"],
+                "item_id": t["item_id"].take(pa.array(keep_idx, type=pa.int64())),
                 "width": pa.array(out_w, type=pa.int32()),
                 "height": pa.array(out_h, type=pa.int32()),
                 "pixels": _u8_list(pixels),
@@ -450,14 +464,21 @@ def synth_bmp(pixels: np.ndarray) -> bytes:
 
 
 def decode_ppm(payload: bytes) -> np.ndarray:
-    """Binary PPM (P6, maxval 255, no comment lines) -> (h, w, 3) uint8."""
-    if not payload.startswith(b"P6"):
-        raise ValueError("not a P6 PPM")
-    parts = payload.split(maxsplit=4)  # P6, w, h, maxval, raster
-    if len(parts) < 5 or parts[3] != b"255":
-        raise ValueError("unsupported PPM header")
-    w, h = int(parts[1]), int(parts[2])
-    raster = payload[len(payload) - h * w * 3 :]
+    """Binary PPM (P6, maxval 255, no comment lines) -> (h, w, 3) uint8.
+
+    The raster is located by PARSING the header (exactly one whitespace
+    byte after maxval, per spec) — never from the payload tail, which
+    would silently shift pixels on a trailing newline and reject rasters
+    that happen to contain whitespace bytes."""
+    import re
+
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if m is None:
+        raise ValueError("not a binary P6 PPM")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxval != 255:
+        raise ValueError("unsupported PPM maxval")
+    raster = payload[m.end() : m.end() + h * w * 3]
     if len(raster) < h * w * 3:
         raise ValueError("truncated PPM raster")
     return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3).copy()

@@ -41,3 +41,17 @@ def test_cli_main_runs_pipeline_and_respects_existing_session(tmp_path):
     assert js  # reference-shaped {name: {cluster: [ids...]}}
     # partitioned output (resumable sink)
     assert any(p.startswith("block_prefix=") for p in os.listdir(out))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_sharded_requires_checkpoint_dir(tmp_path):
+    from hgcn_name_disambiguation_ray.fixtures import FixtureSpec, write_fixture
+    from hgcn_name_disambiguation_ray.run import main
+
+    paths = write_fixture(
+        FixtureSpec(n_names=1, persons_per_name=1, docs_per_person=2),
+        str(tmp_path / "fx"),
+    )
+    with pytest.raises(SystemExit):
+        main(["--input", paths["pages"], "--output", str(tmp_path / "o"),
+              "--n-shards", "4"])

@@ -282,3 +282,56 @@ def test_real_image_pipeline_end_to_end():
     out = decode_resize_featurize(rd.from_pandas(df), out_w=4, out_h=4, fake=False).to_pandas()
     feats = np.asarray(out["features"].iloc[0])
     np.testing.assert_allclose(feats, [10.0, 200.0, 30.0, 0.0, 0.0, 0.0])
+
+
+def test_decode_image_fake_contract_holds_for_magic_prefixed_text():
+    """Review regression: fake mode must return stub pixels for ANY
+    payload, including text that happens to start with b'BM' or b'P6'."""
+    from hgcn_name_disambiguation_ray.stages.multimodal import DecodeImage
+
+    d = DecodeImage(fake=True)
+    for payload in (b"BMW is a car maker, not a bitmap", b"P6ristine prose"):
+        img = d._decode(payload, 5, 4)
+        assert img.shape == (4, 5, 3)
+
+
+def test_decode_ppm_trailing_newline_and_whitespace_raster():
+    """Review regression: the raster is located by header parse, so a
+    trailing newline must not shift pixels and an all-whitespace raster
+    (solid gray 32) must decode."""
+    from hgcn_name_disambiguation_ray.stages.multimodal import decode_ppm, synth_ppm
+
+    img = _gradient(5, 7)
+    np.testing.assert_array_equal(decode_ppm(synth_ppm(img) + b"\n"), img)
+    gray = np.full((3, 4, 3), 32, dtype=np.uint8)  # raster bytes = spaces
+    np.testing.assert_array_equal(decode_ppm(synth_ppm(gray)), gray)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decode_image_skip_drops_corrupt_rows():
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.multimodal import (
+        DecodeImage,
+        synth_ppm,
+    )
+
+    img = _gradient(4, 4)
+    df = pd.DataFrame(
+        {
+            "item_id": ["good", "truncated"],
+            "payload": [synth_ppm(img), synth_ppm(img)[:-20]],
+            "mime": ["image/x-portable-pixmap"] * 2,
+            "width": np.array([4, 4], dtype=np.int32),
+            "height": np.array([4, 4], dtype=np.int32),
+        }
+    )
+    out = (
+        rd.from_pandas(df)
+        .map_batches(
+            DecodeImage, fn_constructor_args=(False, 3, "skip"),
+            batch_format="pyarrow", concurrency=1,
+        )
+        .to_pandas()
+    )
+    assert out["item_id"].tolist() == ["good"]

@@ -98,3 +98,22 @@ def test_stratified_sample_per_group_cap_and_determinism():
         rd.from_pandas(df.sample(frac=1.0, random_state=3)), "lang", 10
     ).to_pandas()
     assert set(out2["doc_id"]) == set(out["doc_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stratified_sample_keeps_null_group():
+    """Review regression: a NULL group key is a real stratum (SQL
+    PARTITION BY keeps it); pandas groupby must not silently drop it."""
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.sampling import stratified_sample
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(40, dtype=np.int64),
+            "lang": ["en"] * 20 + [None] * 20,
+        }
+    )
+    out = stratified_sample(rd.from_pandas(df), "lang", 5).to_pandas()
+    assert (out["lang"] == "en").sum() == 5
+    assert out["lang"].isna().sum() == 5

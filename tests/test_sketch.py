@@ -102,6 +102,7 @@ def test_bloom_no_false_negatives_and_bounded_false_positives():
     assert len(out) >= 0.98 * len(new_ids)
 
 
+@pytest.mark.usefixtures("ray_session")
 def test_bloom_build_is_partitioning_invariant():
     import ray.data as rd
 
