@@ -495,3 +495,38 @@ def write_metrics_csv(scores: pd.DataFrame, path: str) -> None:
     ).copy()
     df.loc[df["name"] == "__macro__", "name"] = "Avg"
     df.to_csv(path, index=False)
+
+
+def lookup_clusters(clusters_dir: str, block_key: str) -> pd.DataFrame:
+    """Offline analogue of the reference's author-info lookup CLI
+    (SURVEY.md S10, `author_info_lookup.py` — a REST diagnostic; here the
+    'index' is the partitioned sink itself): resolve one block key to its
+    clusters by reading ONLY the `block_prefix=NN/` partition the key
+    hashes to — the same prefix `write_clusters` assigned — so a lookup
+    against a trillion-row output touches one partition, not the corpus.
+    Returns (block_key, salt, mention_id, cluster_id) sorted for display."""
+    import os
+
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from hgcn_name_disambiguation_ray.functions.hashing import stable_hash64_array
+
+    # convert to Python int BEFORE the modulo: numpy promotes
+    # uint64_scalar % int to float64 and corrupts the prefix
+    prefix = int(stable_hash64_array(np.array([block_key], dtype=object))[0]) % 64
+    part_dir = os.path.join(clusters_dir, f"block_prefix={prefix}")
+    if not os.path.isdir(part_dir):
+        return pd.DataFrame(
+            columns=["block_key", "salt", "mention_id", "cluster_id"]
+        )
+    dataset = pads.dataset(part_dir, format="parquet")
+    t = dataset.to_table(
+        columns=["block_key", "salt", "mention_id", "cluster_id"],
+        filter=pads.field("block_key") == block_key,
+    )
+    return (
+        t.to_pandas()
+        .sort_values(["cluster_id", "mention_id"])
+        .reset_index(drop=True)
+    )

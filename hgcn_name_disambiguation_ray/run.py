@@ -21,8 +21,14 @@ def main(argv: list[str] | None = None) -> int:
         prog="hgcn_name_disambiguation_ray.run",
         description="Record-linkage over Common-Crawl-style Parquet pages",
     )
-    p.add_argument("--input", required=True, help="pages parquet path/dir")
-    p.add_argument("--output", required=True, help="clusters output dir")
+    p.add_argument("--input", help="pages parquet path/dir")
+    p.add_argument("--output", help="clusters output dir")
+    p.add_argument("--lookup", default=None, metavar="BLOCK_KEY",
+                   help="offline author lookup: resolve one block key "
+                        "against an existing --clusters dir (reads only "
+                        "its hash-prefix partition; no Ray session)")
+    p.add_argument("--clusters", default=None,
+                   help="clusters dir for --lookup (a write_clusters output)")
     p.add_argument("--checkpoint-dir", default=None,
                    help="stage/shard checkpoint root (enables resume)")
     p.add_argument("--lineage-token", default="",
@@ -37,6 +43,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--summary-json", default=None,
                    help="also write the reference-shaped JSON cluster summary here")
     args = p.parse_args(argv)
+
+    if args.lookup is not None:
+        # pure-pyarrow partition-pruned read — no Ray session needed
+        if not args.clusters:
+            p.error("--lookup requires --clusters <write_clusters output dir>")
+        from hgcn_name_disambiguation_ray.pipelines.linkage import lookup_clusters
+
+        df = lookup_clusters(args.clusters, args.lookup)
+        groups = {
+            str(cid): sorted(g["mention_id"].tolist())
+            for cid, g in df.groupby("cluster_id", sort=True)
+        }
+        print(json.dumps({args.lookup: groups}))
+        return 0
+    if not args.input or not args.output:
+        p.error("--input and --output are required (unless using --lookup)")
 
     import ray
 

@@ -55,3 +55,42 @@ def test_cli_sharded_requires_checkpoint_dir(tmp_path):
     with pytest.raises(SystemExit):
         main(["--input", paths["pages"], "--output", str(tmp_path / "o"),
               "--n-shards", "4"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_lookup_reads_only_the_keys_partition(tmp_path, capsys):
+    """S10 analogue: resolve one block key from a written clusters dir
+    via its hash-prefix partition, without a Ray session."""
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.fixtures import FixtureSpec, write_fixture
+    from hgcn_name_disambiguation_ray.pipelines.linkage import (
+        lookup_clusters,
+        run_linkage,
+        write_clusters,
+    )
+    from hgcn_name_disambiguation_ray.config import LinkageConfig
+    from hgcn_name_disambiguation_ray.run import main
+
+    paths = write_fixture(
+        FixtureSpec(n_names=2, persons_per_name=2, docs_per_person=5),
+        str(tmp_path / "fx"),
+    )
+    clusters = run_linkage(rd.read_parquet(paths["pages"]), LinkageConfig())
+    out = str(tmp_path / "clusters")
+    write_clusters(clusters, out)
+    all_rows = rd.read_parquet(out).to_pandas()
+    key = sorted(all_rows["block_key"].unique())[0]
+
+    looked = lookup_clusters(out, key)
+    expect = all_rows[all_rows["block_key"] == key]
+    assert sorted(looked["mention_id"]) == sorted(expect["mention_id"])
+    assert set(looked["cluster_id"]) == set(expect["cluster_id"])
+    # unknown key -> empty frame, same columns
+    assert lookup_clusters(out, "no such name").empty
+
+    # CLI surface prints the reference-shaped JSON
+    rc = main(["--lookup", key, "--clusters", out])
+    assert rc == 0
+    js = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sorted(sum(js[key].values(), [])) == sorted(expect["mention_id"])
