@@ -141,6 +141,7 @@ def connected_components(
     # the bucket count to the edge volume (~100k edges per bucket) so toy
     # graphs do not pay 64 buckets x 2 stars x rounds of pure overhead
     n_buckets = int(max(8, min(256, edges.count() // 100_000 + 8)))
+    converged = False
     for _ in range(max_rounds):
         # pin each round: without this the lazy lineage grows round over
         # round and every checksum re-executes the whole history
@@ -149,8 +150,18 @@ def connected_components(
         ).materialize()
         sig = _checksum(cur)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # an unconverged edge set is NOT a (node -> root) mapping:
+        # finalizing it would silently split true components. Fail loudly
+        # — star-contraction converges in O(log^2 n) rounds, so hitting
+        # this means max_rounds is undersized for the graph, not a bug.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds; "
+            "raise max_rounds"
+        )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({"mention_id": df["u"], "component": df["v"]})
@@ -158,7 +169,17 @@ def connected_components(
         roots["component"] = roots["mention_id"]
         return pd.concat([out, roots], ignore_index=True)
 
-    mapped = cur.map_batches(finalize, batch_format="pandas")
+    def self_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        # a node whose only edges are self-loops never survives the star
+        # rounds (both stars drop u == v), but it DOES 'appear in an edge'
+        # — emit (x, x); the final per-node min merges it away whenever
+        # the node also reached a real root
+        x = df.loc[df["u"] == df["v"], "u"].unique()
+        return pd.DataFrame({"mention_id": x, "component": x})
+
+    mapped = cur.map_batches(finalize, batch_format="pandas").union(
+        edges.map_batches(self_nodes, batch_format="pandas")
+    )
     # a root may appear in several batches; dedup to the min component per
     # node. mention_id is the highest-cardinality key in the pipeline, so
     # this runs through the bucketed pattern (vectorized pandas per bucket),

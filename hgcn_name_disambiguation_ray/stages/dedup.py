@@ -43,7 +43,6 @@ from collections.abc import Callable
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 from ray.data import Dataset
 
 from hgcn_name_disambiguation_ray.functions.hashing import (
@@ -74,7 +73,15 @@ def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> 
     never a Ray dispatch per group."""
 
     def hash_batch(t: pa.Table) -> pa.Table:
-        texts = np.asarray(t[text_col].to_pandas(), dtype=object)
+        import pyarrow.compute as _pc
+
+        # null text hashes as "" (consistent with the near-dup tokenizers'
+        # fill_null) — NOT str(None), which would merge null-text docs
+        # with docs whose literal text is 'None'
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        texts = np.asarray(_pc.fill_null(col, "").to_pandas(), dtype=object)
         hi, lo = content_hash128(texts)
         return pa.table(
             {
@@ -87,7 +94,11 @@ def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> 
     def partial(t: pa.Table) -> pa.Table:
         # per-batch combine: (hash, min_id, count) — shrinks the shuffle
         g = t.group_by(["h_hi", "h_lo"]).aggregate([(id_col, "min"), (id_col, "count")])
-        return g.rename_columns(["h_hi", "h_lo", "keep_id", "n_copies"])
+        # rename BY NAME: pyarrow's aggregate column order (keys first vs
+        # last) is version-dependent; a positional rename silently
+        # mislabels the hash halves as keep_id on other releases
+        ren = {f"{id_col}_min": "keep_id", f"{id_col}_count": "n_copies"}
+        return g.rename_columns([ren.get(c, c) for c in g.column_names])
 
     hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
     partials = hashed.map_batches(partial, batch_format="pyarrow")
@@ -221,11 +232,10 @@ class _SignatureStage:
     With `with_sets=True` also emits the sorted-unique shingle-hash set
     per doc (for exact-Jaccard verification)."""
 
-    def __init__(self, text_col: str, id_col: str, num_perms: int, bands: int,
+    def __init__(self, text_col: str, id_col: str, num_perms: int,
                  shingle_n: int, seed: int, with_sets: bool = False):
         self.text_col = text_col
         self.id_col = id_col
-        self.bands = bands
         self.shingle_n = shingle_n
         self.with_sets = with_sets
         self.a, self.b = perm_params(num_perms, seed)
@@ -458,7 +468,7 @@ def _verify_pairs_by_join(
 
         cand = cand.materialize()
         total = (cand.size_bytes() or 0) + (feats.size_bytes() or 0)
-        cap = max(64, 4 * int(ray.cluster_resources().get("CPU", 8)))
+        cap = max(8, 4 * int(ray.cluster_resources().get("CPU", 8)))
         num_partitions = int(max(2, min(cap, total // (256 << 20) + 1)))
     fu = feats.map_batches(
         lambda t: pa.table({"u": t["doc_id"], f"{feat_col}_u": t[feat_col]}),
@@ -501,7 +511,7 @@ def minhash_lsh_dedup(
     Signatures are wide (num_perms x uint64), so verification attaches
     them to candidate pairs via two bucketed hash joins — never a driver
     pull or whole-map broadcast (`_verify_pairs_by_join`)."""
-    sig_stage = _SignatureStage(text_col, id_col, num_perms, bands, shingle_n, seed)
+    sig_stage = _SignatureStage(text_col, id_col, num_perms, shingle_n, seed)
     sigs_ds = ds.map_batches(sig_stage, batch_format="pyarrow").materialize()
     band_rows = sigs_ds.select_columns(["doc_id", "signature"]).map_batches(
         _explode_bands(bands), batch_format="pyarrow"
@@ -534,7 +544,7 @@ def ngram_jaccard_dedup(
     (variable-width) sets are attached by distributed hash join and the
     intersection is computed by a segmented sort — vectorized, exact
     (up to 64-bit shingle-hash collisions), no driver materialization."""
-    sig_stage = _SignatureStage(text_col, id_col, 128, 32, shingle_n, seed, with_sets=True)
+    sig_stage = _SignatureStage(text_col, id_col, 128, shingle_n, seed, with_sets=True)
     feats = ds.map_batches(sig_stage, batch_format="pyarrow").materialize()
     band_rows = feats.select_columns(["doc_id", "signature"]).map_batches(
         _explode_bands(32), batch_format="pyarrow"

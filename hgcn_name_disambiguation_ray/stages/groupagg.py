@@ -184,6 +184,15 @@ def asof_join(
     both sides. Left rows with no match keep nulls in right columns.
     """
     rcols = right_cols or [c for c in right.columns() if c not in by and c != on]
+    overlap = (set(left.columns()) - set(by) - {on}) & set(rcols)
+    if overlap:
+        # pd.merge_asof would suffix these to c_x/c_y and the output
+        # schema would be ambiguous — fail loudly instead of a per-bucket
+        # KeyError deep in the shuffle
+        raise ValueError(
+            f"asof_join: columns {sorted(overlap)} exist on both sides; "
+            "rename or pass right_cols to disambiguate"
+        )
 
     def tag(side: str):
         def add(t: pa.Table) -> pa.Table:
@@ -219,28 +228,39 @@ def asof_join(
     rt = rt.select_columns(lt.columns())
     both = lt.union(rt)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns="__bucket")
+    def merge(t: pa.Table) -> pd.DataFrame:
+        # convert with NULLABLE integer dtypes: the unioned bucket holds
+        # the other side's columns as nulls, and a plain to_pandas routes
+        # int64-with-nulls through float64, silently rounding 64-bit
+        # values above 2^53 (hashes, wide ids) before we ever see them
+        g = t.to_pandas(
+            types_mapper={
+                pa.int64(): pd.Int64Dtype(),
+                pa.int32(): pd.Int32Dtype(),
+                pa.uint64(): pd.UInt64Dtype(),
+            }.get
+        ).drop(columns="__bucket")
         l = g[g["__side"] == "l"].drop(columns="__side")[lcols].sort_values(on, kind="stable")
         # sort right on (on, *rcols) so equal-`on` duplicates resolve to the
         # max rcols tuple deterministically (merge_asof picks the last row)
         r = g[g["__side"] == "r"].drop(columns="__side")[by + [on] + rcols].sort_values(
             [on] + rcols, kind="stable"
         )
+        # merge_asof needs numpy-backed match keys; both sides' keys are
+        # non-null by construction, so the downcast is lossless
+        for c in by + [on]:
+            for side in (l, r):
+                if isinstance(side[c].dtype, pd.api.extensions.ExtensionDtype):
+                    side[c] = side[c].astype(side[c].dtype.numpy_dtype)
         r = r.rename(columns={on: f"{on}_right"})
-        # merge_asof keeps the full output schema even for empty sides
+        # merge_asof keeps the full output schema even for empty sides;
+        # nullable payload dtypes make every bucket emit one schema
         out = pd.merge_asof(
             l, r, left_on=on, right_on=f"{on}_right", by=by, direction="backward"
         )
-        # unmatched left rows null-fill right columns (int -> float64), but
-        # all-matched / empty-left buckets would keep int64 — normalize so
-        # every bucket emits one schema (Arrow rejects mixed block dtypes)
-        for c in rcols:
-            if pd.api.types.is_integer_dtype(out[c]):
-                out[c] = out[c].astype(np.float64)
         return out
 
-    return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
 
 
 def range_join(
@@ -267,14 +287,27 @@ def range_join(
     (points live in exactly one), so no dedup pass is needed.
     """
 
+    overlap = (set(intervals.columns()) - set(by)) & (set(points.columns()) - set(by))
+    if overlap:
+        # the per-bucket pandas merge would suffix these to c_x/c_y and
+        # the range filter would KeyError — fail loudly up front
+        raise ValueError(
+            f"range_join: columns {sorted(overlap)} exist on both sides; "
+            "rename before joining"
+        )
+
     def tile_intervals(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         lo = (df[start] // granularity).to_numpy()
         hi = (df[end] // granularity).to_numpy()
         reps = np.maximum(hi - lo + 1, 1).astype(np.int64)
         out = df.loc[df.index.repeat(reps)].reset_index(drop=True)
-        win = np.concatenate([np.arange(a, a + r) for a, r in zip(lo, reps)])
-        out["__win"] = win
+        if len(reps):  # np.concatenate rejects an empty list (empty block)
+            out["__win"] = np.concatenate(
+                [np.arange(a, a + r) for a, r in zip(lo, reps)]
+            )
+        else:
+            out["__win"] = np.zeros(0, dtype=np.int64)
         return pa.Table.from_pandas(out, preserve_index=False)
 
     def tile_points(t: pa.Table) -> pa.Table:

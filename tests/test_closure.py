@@ -65,3 +65,26 @@ def test_distributed_path_matches_naive(monkeypatch):
     # every edge endpoint is assigned, and partitions agree
     assert set(got) == set(want)
     assert all(got[k] == want[k] for k in want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_self_loop_only_nodes_agree_between_paths():
+    """Review regression: a node whose only edge is a self-loop must
+    appear (as its own component) on BOTH the driver union-find path and
+    the distributed star-contraction path."""
+    import ray.data as rd
+
+    edges = pd.DataFrame(
+        {"u": ["a", "b", "c"], "v": ["a", "c", "b"]}  # a self-loops; b-c real
+    )
+    from hgcn_name_disambiguation_ray.stages.closure import connected_components
+
+    for force in (False, True):
+        out = (
+            connected_components(rd.from_pandas(edges), force_distributed=force)
+            .to_pandas()
+            .sort_values("mention_id")
+            .reset_index(drop=True)
+        )
+        assert out["mention_id"].tolist() == ["a", "b", "c"]
+        assert out["component"].tolist() == ["a", "b", "b"]

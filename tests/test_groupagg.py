@@ -148,7 +148,8 @@ def test_range_join_matches_pandas():
 @pytest.mark.usefixtures("ray_session")
 def test_asof_join_left_only_buckets_keep_schema():
     """Buckets holding only left rows must emit the full output schema with
-    consistent right-column dtypes (float64 for null-fillable ints)."""
+    consistent right-column dtypes (nullable int64 for null-fillable ints —
+    NOT float64, which would round 64-bit values above 2^53)."""
     import ray.data as rd
 
     from hgcn_name_disambiguation_ray.stages.groupagg import asof_join
@@ -160,8 +161,8 @@ def test_asof_join_left_only_buckets_keep_schema():
         right_cols=["rv"], n_buckets=8,
     ).to_pandas().sort_values("k").reset_index(drop=True)
     assert len(out) == 4
-    assert out["rv"].dtype == np.float64
-    assert out.loc[out["k"] == 2, "rv"].iloc[0] == 7.0
+    assert pd.api.types.is_integer_dtype(out["rv"]) or out["rv"].dtype == np.float64
+    assert out.loc[out["k"] == 2, "rv"].iloc[0] == 7
     assert out.loc[out["k"] != 2, "rv"].isna().all()
     assert out["lv"].tolist() == [1, 2, 3, 4]
 
@@ -264,3 +265,57 @@ def test_topk_exact_across_blocks(ray_session):
     out = topk(ds, ["v", "id"], descending=[True, False], k=5).to_pandas()
     expect = df.sort_values(["v", "id"], ascending=[False, True]).head(5)
     assert out[["v", "id"]].values.tolist() == expect[["v", "id"]].values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_rejects_overlapping_payload_columns():
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.groupagg import asof_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1], "ts": [5], "price": [1.0]}))
+    right = rd.from_pandas(pd.DataFrame({"k": [1], "ts": [3], "price": [2.0]}))
+    with pytest.raises(ValueError, match="price"):
+        asof_join(left, right, by=["k"], on="ts")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_preserves_int64_above_2_53():
+    """Review regression: unmatched-row null-fill must not route integer
+    right columns through float64 (silently rounding wide ids/hashes)."""
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.groupagg import asof_join
+
+    big = (1 << 62) + 12345  # not representable in float64
+    left = rd.from_pandas(
+        pd.DataFrame({"k": [1, 1, 2], "ts": [10, 1, 10]})  # k=2 never matches
+    )
+    right = rd.from_pandas(pd.DataFrame({"k": [1], "ts": [5], "wide": [big]}))
+    out = asof_join(left, right, by=["k"], on="ts").to_pandas()
+    matched = out[(out["k"] == 1) & (out["ts"] == 10)]
+    assert int(matched["wide"].iloc[0]) == big  # exact, not rounded
+    assert out[(out["k"] == 2)]["wide"].isna().all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_join_rejects_overlap_and_survives_empty_blocks():
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.groupagg import range_join
+
+    iv = pd.DataFrame({"k": [1], "start": [0], "end": [10], "tag": ["a"]})
+    ptsdup = pd.DataFrame({"k": [1], "at": [5], "tag": ["b"]})
+    with pytest.raises(ValueError, match="tag"):
+        range_join(rd.from_pandas(iv), rd.from_pandas(ptsdup),
+                   by=["k"], start="start", end="end", at="at", granularity=5)
+
+    # EMPTY BLOCKS (repartition pads with them) must not crash
+    # tile_intervals' np.concatenate
+    pts = pd.DataFrame({"k": [1], "at": [5], "val": [7]})
+    iv2 = pd.DataFrame({"k": [1], "start": [0], "end": [10]})
+    sparse_iv = rd.from_pandas(iv2).repartition(4)
+    out = range_join(sparse_iv, rd.from_pandas(pts),
+                     by=["k"], start="start", end="end", at="at",
+                     granularity=5).to_pandas()
+    assert len(out) == 1 and int(out["val"].iloc[0]) == 7
