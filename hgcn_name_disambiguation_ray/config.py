@@ -80,7 +80,10 @@ class LinkageConfig:
                                   # analogue of the reference's max_works=100 cap
     minhash_perms: int = 64       # MinHash signature length
     lsh_bands: int = 16           # bands (rows = perms // bands)
-    cross_salt_jaccard: float = 0.5  # stemmed-token Jaccard needed to merge across salts
+    cross_salt_min_signals: int = 2  # distinct cross-salt merge signals
+    #   (coentity / LSH band) two sub-block clusters must share to merge
+    #   (hot_cluster_roots); replaces a dead cross_salt_jaccard knob that
+    #   no code path read
     # cross-salt merge signals shared by more than this many sub-block
     # clusters are promiscuous (a web-scale hot key's popular coentity);
     # they star-bound to min-id edges instead of quadratic pair expansion

@@ -109,6 +109,67 @@ def extract_mentions(pages: Dataset, cfg: LinkageConfig | None = None) -> Datase
     return ds.select_columns(MENTION_COLUMNS)
 
 
+def _w2v_blob_ref(cfg: LinkageConfig):
+    """Broadcast the word2vec model bytes ONCE via ray.put when the path
+    is driver-readable. BlockScorer actors on OTHER NODES cannot open a
+    driver-local file (run_linkage_artifact trains to /tmp on the
+    driver), so the model ships through the object store; a path the
+    driver cannot see (actor-visible shared FS) falls back to per-actor
+    open()."""
+    import os
+
+    if not cfg.word2vec_path or not os.path.exists(cfg.word2vec_path):
+        return None
+    with open(cfg.word2vec_path, "rb") as f:
+        w2v = f.read()
+    idf = None
+    idf_path = cfg.word2vec_path + ".idf"
+    if os.path.exists(idf_path):
+        with open(idf_path, "rb") as f:
+            idf = f.read()
+    return ray.put((w2v, idf))
+
+
+def _merge_hot_relabel(
+    clusters: Dataset, salt_map: dict, cfg: LinkageConfig, out_cols: list[str]
+) -> Dataset:
+    """Shared tail of run_linkage / _score_and_merge: hot keys were split
+    into salts, so sub-block LOCAL CLUSTERS merge transitively when they
+    share >= cfg.cross_salt_min_signals distinct merge signals (coentity /
+    LSH band) across salts; merges never cross block keys. The root map
+    (one row per merged hot cluster) is broadcast for the final relabel."""
+    hot_keys = set(salt_map)
+
+    def hot_filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t["block_key"], value_set=pa.array(sorted(hot_keys))))
+
+    hot_clusters = clusters.map_batches(hot_filter, batch_format="pyarrow")
+    roots_df = hot_cluster_roots(
+        hot_clusters, cfg, min_signals=cfg.cross_salt_min_signals
+    ).to_pandas()
+    root_map = dict(zip(roots_df["cluster_id"], roots_df["root"]))
+    root_ref = ray.put(root_map)
+
+    class Relabel:
+        def __init__(self, ref):
+            self.roots = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df[out_cols].copy()
+            # vectorized: only hot-key clusters can appear in the root map,
+            # so map + where beats a per-row Python closure over the corpus
+            m = df["cluster_id"].map(self.roots)
+            df["cluster_id"] = m.where(m.notna(), df["cluster_id"])
+            return df
+
+    return clusters.map_batches(
+        Relabel, fn_constructor_args=(root_ref,), batch_format="pandas",
+        concurrency=(1, 4),
+    )
+
+
 def run_linkage(
     pages: Dataset,
     cfg: LinkageConfig | None = None,
@@ -169,10 +230,12 @@ def run_linkage(
     n_parts = max(8, 4 * int(ray.cluster_resources().get("CPU", 8)))
     salted = salted.repartition(n_parts)
 
+    w2v_ref = _w2v_blob_ref(cfg)
+
     def score() -> Dataset:
         return salted.groupby(["block_key", "salt"]).map_groups(
             BlockScorer,
-            fn_constructor_args=(cfg,),
+            fn_constructor_args=(cfg, False, bool(salt_map), w2v_ref),
             batch_format="pyarrow",
             concurrency=cfg.scorer_concurrency,
         )
@@ -198,37 +261,7 @@ def run_linkage(
         # the final relabel below — pin it so the scorer runs exactly once
         clusters = clusters.materialize()
 
-    # --- hot keys were split: merge sub-block LOCAL CLUSTERS transitively.
-    # Clusters of the same hot key merge when they share >= 2 distinct
-    # merge signals (coentity / LSH band) across salts; merges never cross
-    # block keys, so the whole merge is ONE groupby(block_key) over
-    # cluster representatives (hot_cluster_roots). The root map (one row
-    # per merged hot cluster) is broadcast for the final relabel.
-    hot_keys = set(salt_map)
-
-    def hot_filter(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return t.filter(pc.is_in(t["block_key"], value_set=pa.array(sorted(hot_keys))))
-
-    hot_clusters = clusters.map_batches(hot_filter, batch_format="pyarrow")
-    roots_df = hot_cluster_roots(hot_clusters, cfg).to_pandas()
-    root_map = dict(zip(roots_df["cluster_id"], roots_df["root"]))
-    root_ref = ray.put(root_map)
-
-    class Relabel:
-        def __init__(self, ref):
-            self.roots = ray.get(ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            df = df[out_cols].copy()
-            df["cluster_id"] = df["cluster_id"].map(lambda c: self.roots.get(c, c))
-            return df
-
-    return clusters.map_batches(
-        Relabel, fn_constructor_args=(root_ref,), batch_format="pandas",
-        concurrency=(1, 4),
-    )
+    return _merge_hot_relabel(clusters, salt_map, cfg, out_cols)
 
 
 def run_linkage_artifact(
@@ -397,36 +430,14 @@ def _score_and_merge(mentions: Dataset, cfg: LinkageConfig, salt_map: dict) -> D
     n_parts = max(8, 4 * int(ray.cluster_resources().get("CPU", 8)))
     salted = salted.repartition(n_parts)
     clusters = salted.groupby(["block_key", "salt"]).map_groups(
-        BlockScorer, fn_constructor_args=(cfg,), batch_format="pyarrow",
-        concurrency=cfg.scorer_concurrency,
+        BlockScorer, fn_constructor_args=(cfg, False, bool(salt_map), _w2v_blob_ref(cfg)),
+        batch_format="pyarrow", concurrency=cfg.scorer_concurrency,
     )
     out_cols = ["block_key", "salt", "mention_id", "cluster_id"]
     if not salt_map:
         return clusters.select_columns(out_cols)
     clusters = clusters.materialize()
-    hot_keys = set(salt_map)
-
-    def hot_filter(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return t.filter(pc.is_in(t["block_key"], value_set=pa.array(sorted(hot_keys))))
-
-    hot_clusters = clusters.map_batches(hot_filter, batch_format="pyarrow")
-    roots_df = hot_cluster_roots(hot_clusters, cfg).to_pandas()
-    root_map = dict(zip(roots_df["cluster_id"], roots_df["root"]))
-    root_ref = ray.put(root_map)
-
-    class Relabel:
-        def __init__(self, ref):
-            self.roots = ray.get(ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            df = df[out_cols].copy()
-            df["cluster_id"] = df["cluster_id"].map(lambda c: self.roots.get(c, c))
-            return df
-
-    return clusters.map_batches(Relabel, fn_constructor_args=(root_ref,),
-                                batch_format="pandas", concurrency=(1, 4))
+    return _merge_hot_relabel(clusters, salt_map, cfg, out_cols)
 
 
 def clusters_with_truth(clusters: Dataset, truth: pa.Table) -> Dataset:

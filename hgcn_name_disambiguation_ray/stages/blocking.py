@@ -61,7 +61,11 @@ def block_counts(ds: Dataset, min_count: int | None = None) -> pd.DataFrame:
 
     def partial(batch: pa.Table) -> pa.Table:
         counts = batch.group_by("block_key").aggregate([("block_key", "count")])
-        return counts.rename_columns(["block_key", "n"])
+        # rename BY NAME: pyarrow's aggregate column order (keys first vs
+        # last) is version-dependent; positionally this could label the
+        # counts 'block_key' on other releases
+        ren = {"block_key_count": "n"}
+        return counts.rename_columns([ren.get(c, c) for c in counts.column_names])
 
     partials = ds.select_columns(["block_key"]).map_batches(partial, batch_format="pyarrow")
     out = partials.groupby("block_key").aggregate(Sum("n", alias_name="n"))
@@ -98,8 +102,20 @@ class AssignSalt:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = np.asarray(batch["block_key"].to_pandas(), dtype=object)
-        n_salts = np.array([self.salt_map.get(k, 1) for k in keys], dtype=np.uint64)
+        if not self.salt_map:
+            # unsalted run (the common case): salt = hash % 1 == 0 for
+            # every row — skip the full-table lookup entirely
+            return batch.append_column(
+                "salt", pa.array(np.zeros(batch.num_rows, dtype=np.int32))
+            )
+        import pandas as pd
+
+        keys = batch["block_key"].to_pandas()
+        # vectorized map (C path), not a per-row Python dict lookup over
+        # the whole corpus: almost every key is cold
+        n_salts = (
+            pd.Series(keys).map(self.salt_map).fillna(1).to_numpy(dtype=np.uint64)
+        )
         mids = np.asarray(batch["mention_id"].to_pandas(), dtype=object)
         h = stable_hash64_array(mids)
         salt = (h % n_salts).astype(np.int32)

@@ -30,7 +30,9 @@ def _cell_counts(ds: Dataset, keys: list[str], out: str) -> Dataset:
 
     def partial(batch: pa.Table) -> pa.Table:
         agg = batch.group_by(keys).aggregate([(keys[0], "count")])
-        return agg.rename_columns(keys + [out])
+        # rename by name (pyarrow aggregate column order is version-dependent)
+        ren = {f"{keys[0]}_count": out}
+        return agg.rename_columns([ren.get(c, c) for c in agg.column_names])
 
     partials = ds.select_columns(keys).map_batches(partial, batch_format="pyarrow")
     return partials.groupby(keys).aggregate(Sum(out, alias_name=out))

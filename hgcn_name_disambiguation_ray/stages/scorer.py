@@ -126,13 +126,29 @@ def hop2_matrix(coentities: list[list[str]], exts: list[list[str]]) -> np.ndarra
 class BlockScorer:
     """Callable-class stage: one Arrow group table in, cluster rows out."""
 
-    def __init__(self, cfg: LinkageConfig | None = None, fixed_k: bool = False):
+    def __init__(self, cfg: LinkageConfig | None = None, fixed_k: bool = False,
+                 emit_signatures: bool = True, w2v_ref=None):
         self.cfg = cfg or LinkageConfig()
-        self.embedder = HashEmbedder(
-            dim=self.cfg.feature_dim, seed=self.cfg.seed,
-            model_path=self.cfg.word2vec_path,
-        )
+        if w2v_ref is not None:
+            # model bytes broadcast once via ray.put (multi-node safe:
+            # actors never open the driver-local model file)
+            import ray as _ray
+
+            blob = _ray.get(w2v_ref) if isinstance(w2v_ref, _ray.ObjectRef) else w2v_ref
+            self.embedder = HashEmbedder(
+                dim=self.cfg.feature_dim, seed=self.cfg.seed, model_blob=blob
+            )
+        else:
+            self.embedder = HashEmbedder(
+                dim=self.cfg.feature_dim, seed=self.cfg.seed,
+                model_path=self.cfg.word2vec_path,
+            )
         self.fixed_k = fixed_k  # conformance mode C7: k = |truth clusters| column
+        # cluster merge signatures feed ONLY the cross-salt merge; an
+        # unsalted run (empty salt map — the common case) pays their set
+        # unions + shuffle/checkpoint bytes for nothing, so callers pass
+        # emit_signatures=bool(salt_map) and unsalted rows carry []
+        self.emit_signatures = emit_signatures
 
     def __call__(self, group: pa.Table | pd.DataFrame) -> pa.Table:
         if isinstance(group, pd.DataFrame):
@@ -169,19 +185,24 @@ class BlockScorer:
         # cluster-level merge signatures (used only when the block was
         # salted): distinct coentities and the stemmed-token union per
         # local cluster, carried on every member row.
-        by_cluster: dict[int, list[int]] = {}
-        for i, c in enumerate(labels):
-            by_cluster.setdefault(int(c), []).append(i)
-        cl_coents: dict[int, list[str]] = {}
-        cl_tokens: dict[int, list[str]] = {}
-        for c, idx in by_cluster.items():
-            ents: set[str] = set()
-            toks: set[str] = set()
-            for i in idx:
-                ents.update(coents[i])
-                toks.update(toks_st[i])
-            cl_coents[c] = sorted(ents)[:64]
-            cl_tokens[c] = sorted(toks)[:256]
+        if self.emit_signatures:
+            by_cluster: dict[int, list[int]] = {}
+            for i, c in enumerate(labels):
+                by_cluster.setdefault(int(c), []).append(i)
+            cl_coents: dict[int, list[str]] = {}
+            cl_tokens: dict[int, list[str]] = {}
+            for c, idx in by_cluster.items():
+                ents: set[str] = set()
+                toks: set[str] = set()
+                for i in idx:
+                    ents.update(coents[i])
+                    toks.update(toks_st[i])
+                cl_coents[c] = sorted(ents)[:64]
+                cl_tokens[c] = sorted(toks)[:256]
+        else:
+            empty: list[str] = []
+            cl_coents = {int(c): empty for c in labels}
+            cl_tokens = cl_coents
         return pa.table(
             {
                 "block_key": pa.array([bkey] * n, type=pa.string()),

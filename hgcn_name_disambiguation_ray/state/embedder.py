@@ -22,19 +22,32 @@ import numpy as np
 from hgcn_name_disambiguation_ray.functions.hashing import stable_hash64
 
 
+def _parse_word2vec_lines(f) -> tuple[dict[str, np.ndarray], int]:
+    vocab: dict[str, np.ndarray] = {}
+    header = f.readline().split()
+    dim = int(header[1])
+    for line in f:
+        parts = line.rstrip("\n").split(" ")
+        if len(parts) != dim + 1:
+            continue  # malformed row: skip, don't fail the actor
+        vocab[parts[0]] = np.asarray(parts[1:], dtype=np.float64)
+    return vocab, dim
+
+
 def load_word2vec_text(path: str) -> tuple[dict[str, np.ndarray], int]:
     """Load the public word2vec TEXT format: header line "n dim", then one
     "token v1 .. vdim" line per word. Returns ({token: vector}, dim)."""
-    vocab: dict[str, np.ndarray] = {}
     with open(path, encoding="utf-8") as f:
-        header = f.readline().split()
-        dim = int(header[1])
-        for line in f:
-            parts = line.rstrip("\n").split(" ")
-            if len(parts) != dim + 1:
-                continue  # malformed row: skip, don't fail the actor
-            vocab[parts[0]] = np.asarray(parts[1:], dtype=np.float64)
-    return vocab, dim
+        return _parse_word2vec_lines(f)
+
+
+def _parse_idf(text: str) -> dict[str, float]:
+    idf: dict[str, float] = {}
+    for line in text.splitlines():
+        parts = line.rsplit(" ", 1)
+        if len(parts) == 2:
+            idf[parts[0]] = float(parts[1])
+    return idf
 
 
 class HashEmbedder:
@@ -45,7 +58,8 @@ class HashEmbedder:
     model the deterministic hash projection is used for every token."""
 
     def __init__(self, dim: int = 100, seed: int = 0, cache_max: int = 1 << 20,
-                 model_path: str | None = None):
+                 model_path: str | None = None,
+                 model_blob: "tuple[bytes, bytes | None] | None" = None):
         import os
 
         self.dim = dim
@@ -54,17 +68,26 @@ class HashEmbedder:
         self._cache_max = cache_max
         self._model: dict[str, np.ndarray] | None = None
         self._idf: dict[str, float] = {}
-        if model_path is not None:
+        if model_blob is not None:
+            # model shipped as bytes through the Ray object store — an
+            # actor on another NODE has no access to the driver's local
+            # filesystem, so a path alone cannot work multi-node
+            import io
+
+            w2v_bytes, idf_bytes = model_blob
+            self._model, self.dim = _parse_word2vec_lines(
+                io.StringIO(w2v_bytes.decode("utf-8"))
+            )
+            if idf_bytes is not None:
+                self._idf = _parse_idf(idf_bytes.decode("utf-8"))
+        elif model_path is not None:
             self._model, model_dim = load_word2vec_text(model_path)
             self.dim = model_dim
             # idf sidecar written by state/wordvec.py train_word_vectors
             idf_path = model_path + ".idf"
             if os.path.exists(idf_path):
                 with open(idf_path, encoding="utf-8") as f:
-                    for line in f:
-                        parts = line.rsplit(" ", 1)
-                        if len(parts) == 2:
-                            self._idf[parts[0]] = float(parts[1])
+                    self._idf = _parse_idf(f.read())
 
     def token_vector(self, token: str) -> np.ndarray:
         if self._model is not None:

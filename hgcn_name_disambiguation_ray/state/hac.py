@@ -77,11 +77,14 @@ def average_linkage_merges_with_dist(
     merges: list[tuple[int, int]] = []
     mdist = np.empty(max(0, n - 1), dtype=np.float64)
     for t in range(n - 1):
-        sub = np.where(active)[0]
-        block = D[np.ix_(sub, sub)]
-        flat = np.argmin(block)
-        a_, b_ = divmod(int(flat), len(sub))
-        i, j = int(sub[min(a_, b_)]), int(sub[max(a_, b_)])
+        # argmin over the inf-masked FULL matrix: inactive rows/cols and
+        # the diagonal are inf, and active indices are scanned in the same
+        # row-major order a sorted-submatrix copy would use, so the picked
+        # pair (and every tie-break) is identical — without the O(m^2)
+        # submatrix copy per step (O(n^3) copied bytes per block before)
+        flat = int(np.argmin(D))
+        a_, b_ = divmod(flat, n)
+        i, j = min(a_, b_), max(a_, b_)
         merges.append((i, j))
         mdist[t] = D[i, j]
         # Lance-Williams average update into i
