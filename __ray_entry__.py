@@ -503,7 +503,9 @@ def _q_ivf_topk(sf_dir: str):
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     fp = stable_hash64(f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}")
-    index_dir = f"/tmp/ivf_index_{fp % (1 << 32):08x}"
+    # v2: deterministic hash-threshold centroid sample (a stale v1
+    # index would silently serve old-sampling centroids)
+    index_dir = f"/tmp/ivf_index_v2_{fp % (1 << 32):08x}"
     if os.path.exists(os.path.join(index_dir, "_centroids.npy")):
         idx = IvfIndex.load(index_dir)
     else:
@@ -1650,7 +1652,8 @@ def oracle_sql() -> dict[str, str]:
             # recursive CTE over id-ordered rows
             "WITH RECURSIVE d AS (SELECT doc_id, "
             "length(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n, "
-            "((doc_id + 0) * 2654435761) % 4294967296 % 4 AS bucket FROM documents), "
+            "(((doc_id + 0) * 2654435761) % 4294967296) * 4 // 4294967296 AS bucket "
+            "FROM documents), "
             "o AS (SELECT doc_id, n, bucket, "
             "row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM d), "
             "r(bucket, rn, doc_id, seq_idx, acc) AS ("
@@ -1736,8 +1739,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM s2"
         ),
         "train_test_split": (
-            "SELECT doc_id, CASE WHEN ((doc_id + 0) * 2654435761) % 4294967296 "
-            "% 100 < 90 THEN 'train' ELSE 'test' END AS split FROM documents"
+            "SELECT doc_id, CASE WHEN (((doc_id + 0) * 2654435761) % 4294967296) "
+            "* 100 // 4294967296 < 90 THEN 'train' ELSE 'test' END AS split "
+            "FROM documents"
         ),
         "sampled_docs": (
             "SELECT doc_id FROM documents WHERE "

@@ -245,24 +245,12 @@ def pii_scrub(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Da
     return ds.map_batches(body, batch_format="pyarrow")
 
 
-def tfidf_top_terms(
-    ds: Dataset,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 3,
-) -> Dataset:
-    """Per-doc top-k terms: (doc_id, token, tf, df, tfidf_micro).
 
-    Selection keys are INTEGERS (tf desc, df asc, token asc) so ranking is
-    engine-exact; tf-idf = tf·ln(N/df) is emitted as a rounded micro score.
-    Composition of the engine's own operators: per-batch (doc, token, tf)
-    partials -> document frequencies via `vocabulary` -> size-probed
-    `auto_join` on the token key -> bucketed `group_topk` per doc."""
-    from hgcn_name_disambiguation_ray.stages.groupagg import auto_join, group_topk
+def _tf_pairs(text_col: str, id_col: str):
+    """Per-batch (doc, token, tf) partials — shared by tfidf_top_terms and
+    token_freq_score so the two stages cannot drift apart."""
 
-    n_docs_total = ds.count()
-
-    def tf_pairs(t: pa.Table) -> pa.Table:
+    def body(t: pa.Table) -> pa.Table:
         flat, offsets = split_ws_flat(t[text_col], lower=True)
         ids = np.asarray(t[id_col].to_pandas(), dtype=np.int64)
         doc = np.repeat(ids, np.diff(offsets))
@@ -274,7 +262,33 @@ def tfidf_top_terms(
         tf = df.groupby([id_col, "token"], sort=False).size().reset_index(name="tf")
         return pa.Table.from_pandas(tf, preserve_index=False)
 
-    pairs = ds.map_batches(tf_pairs, batch_format="pyarrow")
+    return body
+
+
+def tfidf_top_terms(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> Dataset:
+    """Per-doc top-k terms RANKED BY (tf desc, df asc, token asc):
+    (doc_id, token, tf, df, tfidf_micro).
+
+    The ranking is deliberately NOT by the float tf-idf product: integer
+    keys make the selection bit-exact against any engine (no float
+    rounding at rank boundaries), and df-ascending already prefers the
+    rarer term at equal tf. Consequence a caller must know: a stopword
+    with high tf can out-rank a distinctive lower-tf term — consumers
+    wanting strict tf-idf order should re-sort the emitted tfidf_micro
+    (already an integer) over a larger k. tf-idf = tf·ln(N/df).
+    Composition of the engine's own operators: per-batch (doc, token, tf)
+    partials -> document frequencies via `vocabulary` -> size-probed
+    `auto_join` on the token key -> bucketed `group_topk` per doc."""
+    from hgcn_name_disambiguation_ray.stages.groupagg import auto_join, group_topk
+
+    n_docs_total = ds.count()
+
+    pairs = ds.map_batches(_tf_pairs(text_col, id_col), batch_format="pyarrow")
     dfreq = vocabulary(ds, text_col=text_col).map_batches(
         lambda t: pa.table({"token": t["token"], "df": t["n_docs"].cast(pa.int64())}),
         batch_format="pyarrow",
@@ -308,10 +322,12 @@ def pack_sequences(
     from hgcn_name_disambiguation_ray.stages.groupagg import bucketed_group_apply
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        from hgcn_name_disambiguation_ray.stages.sampling import split_hash
+        from hgcn_name_disambiguation_ray.stages.sampling import _ids64, hash_bucket
 
-        ids = np.asarray(t[id_col].to_pandas(), dtype=np.int64)
-        b = (split_hash(ids) % np.uint64(n_buckets)).astype(np.int32)
+        # high-bit bucket, not %: the Knuth hash's low bits carry raw id
+        # structure (stride-16 id schemes would collapse into ONE bucket
+        # and break the bucket-fits-a-worker partitioning assumption)
+        b = hash_bucket(_ids64(t, id_col), n_buckets).astype(np.int32)
         return t.append_column("bucket", pa.array(b, type=pa.int32()))
 
     def pack(df: pd.DataFrame) -> pd.DataFrame:
@@ -478,13 +494,15 @@ def source_stats(
         mask = pc.invert(pc.is_in(t[source_col], value_set=pa.array(sorted(blocked), type=pa.string()))) if blocked else None
         if mask is not None:
             t = t.filter(mask)
+        # count_all, not count(source): counting the group key itself
+        # reports 0 docs for a null-source group whose sum_chars is real
         tt = t.group_by(source_col).aggregate(
-            [(source_col, "count"), (chars_col, "sum")]
+            [([], "count_all"), (chars_col, "sum")]
         )
         return pa.table(
             {
                 source_col: tt[source_col],
-                "n_docs": tt[f"{source_col}_count"].cast(pa.int64()),
+                "n_docs": tt["count_all"].cast(pa.int64()),
                 "sum_chars": tt[f"{chars_col}_sum"].cast(pa.int64()),
             }
         )
@@ -745,19 +763,7 @@ def token_freq_score(
     `auto_join` on the token key -> bucketed per-doc integer sums."""
     from hgcn_name_disambiguation_ray.stages.groupagg import auto_join, bucketed_sum
 
-    def tf_pairs(t: pa.Table) -> pa.Table:
-        flat, offsets = split_ws_flat(t[text_col], lower=True)
-        ids = np.asarray(t[id_col].to_pandas(), dtype=np.int64)
-        doc = np.repeat(ids, np.diff(offsets))
-        if len(flat) == 0:
-            return pa.table({id_col: pa.array([], type=pa.int64()),
-                             "token": pa.array([], type=pa.string()),
-                             "tf": pa.array([], type=pa.int64())})
-        df = pd.DataFrame({id_col: doc, "token": flat.astype(str)})
-        tf = df.groupby([id_col, "token"], sort=False).size().reset_index(name="tf")
-        return pa.Table.from_pandas(tf, preserve_index=False)
-
-    pairs = ds.map_batches(tf_pairs, batch_format="pyarrow")
+    pairs = ds.map_batches(_tf_pairs(text_col, id_col), batch_format="pyarrow")
     occ = vocabulary(ds, text_col=text_col).map_batches(
         lambda t: pa.table(
             {"token": t["token"], "c": t["n_occurrences"].cast(pa.int64())}

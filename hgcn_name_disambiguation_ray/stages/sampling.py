@@ -21,10 +21,38 @@ _KNUTH = np.uint64(2654435761)
 _MOD32 = np.uint64(1 << 32)
 
 
+def _ids64(t: pa.Table, col: str) -> np.ndarray:
+    """Non-null int64 ids decoded straight off the Arrow buffers.
+
+    A to_pandas round-trip would silently degrade a null-containing
+    batch to float64 — nulls become INT64_MIN and ids above 2^53 round —
+    so the 'assignment is a pure function of the id' contract demands an
+    exact decode and a LOUD failure on null ids (a data bug, not a row
+    to guess about)."""
+    arr = t[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        raise ValueError(f"{col} contains nulls; ids must be non-null")
+    return arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+
+
 def split_hash(ids: np.ndarray, seed: int = 0) -> np.ndarray:
-    """((id + seed) * 2654435761) mod 2^32 — SQL: plain BIGINT arithmetic."""
+    """((id + seed) * 2654435761) mod 2^32 — SQL: plain BIGINT arithmetic.
+
+    NOTE: the LOW bits are unmixed (the Knuth multiplier is 1 mod 16, so
+    h %% 16 == (id+seed) %% 16 exactly) — never reduce this hash with a
+    small modulus; use `hash_bucket` (high-bit scaling) instead."""
     with np.errstate(over="ignore"):
         return ((ids.astype(np.uint64) + np.uint64(seed)) * _KNUTH) % _MOD32
+
+
+def hash_bucket(ids: np.ndarray, n: int, seed: int = 0) -> np.ndarray:
+    """Bucket in [0, n) from the WELL-MIXED high bits: (h * n) >> 32.
+    A plain h %% n inherits id structure (ids that are multiples of 16
+    collapse buckets); the scaled form is still one line of SQL:
+    (((id * 2654435761) %% 4294967296) * n) // 4294967296."""
+    return ((split_hash(ids, seed) * np.uint64(n)) >> np.uint64(32)).astype(np.int64)
 
 
 def hash_split(
@@ -33,8 +61,7 @@ def hash_split(
     """Append a 'split' column: 'train' when hash(id) %% 100 < train_pct."""
 
     def body(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t[id_col].to_pandas(), dtype=np.int64)
-        b = (split_hash(ids, seed) % np.uint64(100)).astype(np.int64)
+        b = hash_bucket(_ids64(t, id_col), 100, seed)
         split = np.where(b < train_pct, "train", "test")
         return t.append_column("split", pa.array(split, type=pa.string()))
 
@@ -49,8 +76,7 @@ def deterministic_sample(
     thresh = np.uint64(int(frac * (1 << 32)))
 
     def body(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t[id_col].to_pandas(), dtype=np.int64)
-        keep = split_hash(ids, seed) < thresh
+        keep = split_hash(_ids64(t, id_col), seed) < thresh
         return t.filter(pa.array(keep))
 
     return ds.map_batches(body, batch_format="pyarrow")
@@ -74,8 +100,7 @@ def stratified_sample(
     from hgcn_name_disambiguation_ray.stages.groupagg import group_topk
 
     def add_hash(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t[id_col].to_pandas(), dtype=np.int64)
-        h = split_hash(ids, seed).astype(np.int64)  # < 2^32: int64-safe
+        h = split_hash(_ids64(t, id_col), seed).astype(np.int64)  # < 2^32: int64-safe
         return t.append_column("__h", pa.array(h, type=pa.int64()))
 
     out = group_topk(

@@ -63,7 +63,11 @@ class _LocalTopK:
         self.id_col = id_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids = np.asarray(t[self.id_col].to_pylist())
+        idc = t[self.id_col]
+        if isinstance(idc, pa.ChunkedArray):
+            idc = idc.combine_chunks()
+        # buffer decode, not to_pylist: no per-value Python on the hot path
+        ids = idc.to_numpy(zero_copy_only=False)
         if len(ids) == 0:
             return pa.table({"query_idx": pa.array([], type=pa.int32()),
                              "vec_id": pa.array([], type=pa.int64()),
@@ -149,8 +153,27 @@ class IvfIndex:
     ) -> "IvfIndex":
         import os
 
+        # DETERMINISTIC sample: Dataset.random_sample is row-order- and
+        # partitioning-dependent (the repo's own sampling module rejects
+        # it for exactly that reason), which would give different
+        # centroids — hence different IVF results — per cluster size.
+        # Knuth-hash thresholding is a pure function of the id.
+        from hgcn_name_disambiguation_ray.stages.sampling import split_hash
+
         frac = min(1.0, sample_rows / max(1, ds.count()))
-        sample_df = ds.random_sample(frac, seed=seed).select_columns([vec_col]).to_pandas()
+        thresh = np.uint64(int(frac * (1 << 32)))
+
+        def keep(t: pa.Table) -> pa.Table:
+            from hgcn_name_disambiguation_ray.stages.sampling import _ids64
+
+            with np.errstate(over="ignore"):
+                m = split_hash(_ids64(t, id_col) + np.int64(seed)) < thresh
+            return t.filter(pa.array(m))
+
+        sample_df = (
+            ds.map_batches(keep, batch_format="pyarrow")
+            .select_columns([vec_col]).to_pandas()
+        )
         sample = np.array(sample_df[vec_col].tolist(), dtype=np.float64)
         cents = _normalize(_kmeans_lite(_normalize(sample), n_centroids, iters=iters, seed=seed))
         cref = ray.put(cents)
@@ -241,7 +264,10 @@ class IvfIndex:
             # (one min-1-actor pool per partition would deadlock small CPU
             # budgets); the per-batch work is one matmul + local top-k
             def score(t: pa.Table) -> pa.Table:
-                ids = np.asarray(t[id_col].to_pylist())
+                idc = t[id_col]
+                if isinstance(idc, pa.ChunkedArray):
+                    idc = idc.combine_chunks()
+                ids = idc.to_numpy(zero_copy_only=False)
                 if len(ids) == 0:
                     return pa.table({"query_idx": pa.array([], type=pa.int32()),
                                      "vec_id": pa.array([], type=pa.int64()),
@@ -427,7 +453,9 @@ def kmeans_assign(
         def __call__(self, t: pa.Table) -> pa.Table:
             X = _as_matrix(t[vec_col])
             if X.shape[0] == 0:
-                return pa.table({id_col: pa.array([], type=pa.int64()),
+                # keep the caller's id type (a hardcoded int64 here would
+                # give empty blocks a different schema than full ones)
+                return pa.table({id_col: t[id_col],
                                  "cluster": pa.array([], type=pa.int64())})
             a = np.argmin(-2.0 * (X @ self.C.T) + self.bias, axis=1)
             return pa.table({id_col: t[id_col], "cluster": pa.array(a.astype(np.int64))})

@@ -76,15 +76,9 @@ def approx_distinct(ds: Dataset, col: str, p: int = 12) -> int:
     """Approximate distinct count of a string or integer column."""
 
     def per_batch(t: pa.Table) -> pa.Table:
-        c = t[col]
-        arr = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-        if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
-            h = hash_string_array(arr)
-        else:
-            h = _splitmix64(
-                np.asarray(arr.to_pandas(), dtype=np.int64).view(np.uint64)
-            )
-        return pa.table({"reg": pa.array([_registers_from_hashes(h, p)])})
+        h, valid = _hash_column(t, col)
+        # nulls don't count (SQL COUNT(DISTINCT col) ignores them)
+        return pa.table({"reg": pa.array([_registers_from_hashes(h[valid], p)])})
 
     return int(round(_estimate(_reduce_registers(
         ds.map_batches(per_batch, batch_format="pyarrow"), p
@@ -118,12 +112,27 @@ def _bloom_positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
     return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
 
 
-def _hash_column(t: pa.Table, col: str) -> np.ndarray:
+def _hash_column(t: pa.Table, col: str) -> tuple[np.ndarray, np.ndarray]:
+    """(uint64 hashes, valid mask). Integer decode goes straight through
+    Arrow buffers — a to_pandas round-trip would degrade a null-containing
+    batch to float64, making a value's hash depend on its batchmates'
+    nulls (values above 2^53 round), which would let a genuinely-seen key
+    slip past the Bloom filter as a FALSE NEGATIVE. Null keys are marked
+    invalid: SQL equality semantics say NULL matches nothing, so callers
+    must treat them as never-seen / not-distinct-countable."""
+    import pyarrow.compute as pc
+
     c = t[col]
     arr = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+    valid = (
+        pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        if arr.null_count
+        else np.ones(len(arr), dtype=bool)
+    )
     if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
-        return hash_string_array(arr)
-    return _splitmix64(np.asarray(arr.to_pandas(), dtype=np.int64).view(np.uint64))
+        return hash_string_array(arr), valid
+    ints = pc.fill_null(arr.cast(pa.int64()), 0).to_numpy(zero_copy_only=False)
+    return _splitmix64(ints.astype(np.uint64, copy=False)), valid
 
 
 def bloom_build(ds: Dataset, col: str, m_bits: int = 1 << 20, k: int = 7) -> np.ndarray:
@@ -135,7 +144,8 @@ def bloom_build(ds: Dataset, col: str, m_bits: int = 1 << 20, k: int = 7) -> np.
 
     def per_batch(t: pa.Table) -> pa.Table:
         bits = np.zeros(m_bits // 8, dtype=np.uint8)
-        h = _hash_column(t, col)
+        h, valid = _hash_column(t, col)
+        h = h[valid]  # null keys are not members (SQL: NULL = x is never true)
         if len(h):
             pos = _bloom_positions(h, m_bits, k).reshape(-1)
             np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
@@ -166,12 +176,13 @@ def bloom_filter_seen(
             self.bits = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            h = _hash_column(t, col)
+            h, valid = _hash_column(t, col)
             if len(h) == 0:
                 return t
             pos = _bloom_positions(h, m_bits, k)
             hit = (self.bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
-            return t.filter(pa.array(~hit.all(axis=1)))
+            seen = hit.all(axis=1) & valid  # null keys are never 'seen'
+            return t.filter(pa.array(~seen))
 
     return ds.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))
 
@@ -205,13 +216,13 @@ def incremental_dedup(
                 self.bits = ray.get(bloom_ref)
 
             def __call__(self, t: pa.Table) -> pa.Table:
-                h = _hash_column(t, col)
+                h, valid = _hash_column(t, col)
                 if len(h) == 0:
                     return t
                 pos = _bloom_positions(h, m_bits, k)
                 hit = (
                     (self.bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
-                ).all(axis=1)
+                ).all(axis=1) & valid  # null keys route to definitely-new
                 return t.filter(pa.array(hit if keep_hits else ~hit))
 
         return Split
