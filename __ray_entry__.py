@@ -1508,7 +1508,7 @@ def oracle_sql() -> dict[str, str]:
             "AND a.o_custkey < b.o_custkey GROUP BY 1, 2"
         ),
         "blocking_keys": (
-            "SELECT p_partkey, CASE WHEN nparts[1] = nparts[-1] THEN nparts[1] "
+            "SELECT p_partkey, CASE WHEN len(nparts) <= 1 THEN coalesce(nparts[1], '') "
             "ELSE nparts[1] || ' ' || nparts[-1] END AS block_key FROM ("
             "SELECT p_partkey, list_filter(string_split(regexp_replace(lower(p_name), "
             "'\\s+', ' ', 'g'), ' '), x -> length(x) > 0) AS nparts FROM part)"

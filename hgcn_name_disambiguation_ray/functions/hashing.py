@@ -4,8 +4,12 @@ All hashes are process-independent (no reliance on PYTHONHASHSEED):
 the bulk 64-bit token hash is a segmented polynomial hash evaluated
 directly over the Arrow string buffers (pure uint64 arithmetic, no
 Python-per-value work), finalized with a splitmix64 mix; the k MinHash
-permutations are universal hashes ((a*x + b) mod p) applied vectorized
-in numpy over uint64 — so signatures computed in different Ray workers /
+permutations are ((a*x + b) mod 2^64) mod p applied vectorized in numpy
+over uint64 — NOTE: the product wraps mod 2^64 BEFORE the Mersenne
+reduction, so the family is weaker than a textbook universal hash (mild
+correlated-collision risk for adversarial inputs); signatures stay
+deterministic and the planted-duplicate oracles validate the realized
+collision behavior — so signatures computed in different Ray workers /
 cluster sizes are identical, which the deterministic-output and
 two-parallelism-level tests rely on.
 

@@ -165,8 +165,11 @@ def normalized_name_key(col: pa.Array | pa.ChunkedArray) -> pa.Array:
     nz = ends > starts
     first[nz] = kept[starts[nz]]
     last[nz] = kept[ends[nz] - 1]
-    same = first == last
-    out = np.where(same, first, np.char.add(np.char.add(first.astype(str), " "), last.astype(str)))
+    # branch on token COUNT: a reduplicated two-token name ("Wei Wei")
+    # must key to "wei wei", not collapse into the single-token "wei"
+    # block (value equality would merge it with every lone "Wei")
+    single = (ends - starts) <= 1
+    out = np.where(single, first, np.char.add(np.char.add(first.astype(str), " "), last.astype(str)))
     return pa.array(out.astype(object), type=pa.string())
 
 

@@ -98,7 +98,7 @@ def extend_coentities(
     mentions: Dataset, cfg: LinkageConfig | None = None, n_buckets: int = 32
 ) -> Dataset:
     """mentions -> mentions + `coentities_ext` (list<string>) column."""
-    from hgcn_name_disambiguation_ray.stages.groupagg import _bucket_of, hash_join
+    from hgcn_name_disambiguation_ray.stages.groupagg import hash_join
 
     cfg = cfg or LinkageConfig()
     exploded = exploded_mention_entities(mentions)
@@ -181,7 +181,12 @@ def extend_coentities(
         mid_o, ent_o = explode(ours, "coentities")
         mid_h, ent_h = explode(hops, "coentities_ext")
         mids_ours = np.asarray(ours["mention_id"].to_pandas(), dtype=object)
+        # keep='first' tolerates duplicate mention ids (re-crawled /
+        # mirrored pages): reindex on a duplicate index raises ValueError;
+        # each duplicate row still receives the signals of its id
         pos = pd.Series(np.arange(n), index=mids_ours)
+        if not pos.index.is_unique:
+            pos = pos[~pos.index.duplicated(keep="first")]
         rr = pos.reindex(np.concatenate([mid_o, mid_h])).to_numpy()
         df = pd.DataFrame({"r": rr, "e": np.concatenate([ent_o, ent_h])})
         df = df.dropna(subset=["r"]).drop_duplicates()
@@ -200,10 +205,9 @@ def extend_coentities(
         cols["coentities_ext"] = ext_arr
         return pa.table(cols)
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        b = _bucket_of(t.select(["mention_id"]).to_pandas(), ["mention_id"], n_buckets)
-        return t.append_column("__bucket", pa.array(b, type=pa.int32()))
-
-    return unioned.map_batches(add_bucket, batch_format="pyarrow").groupby(
-        "__bucket"
-    ).map_groups(per_bucket, batch_format="pyarrow")
+    # ride the shared bucket pattern (one implementation of the bucket
+    # contract, not a hand-rolled copy that could drift)
+    return bucketed_group_apply(
+        unioned, ["mention_id"], per_bucket, n_buckets=n_buckets,
+        batch_format="pyarrow",
+    )

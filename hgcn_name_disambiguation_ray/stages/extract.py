@@ -101,7 +101,11 @@ def extract_batch(batch: pa.Table) -> pa.Table:
         v = _VENUE_RE.search(h)
         hosts[i] = _unescape(v.group(1)) if v else ""
         y = _YEAR_RE.search(h)
-        years[i] = int(y.group(1)) if y else 0
+        # bound before the int32 store: an absurd "year" on a malformed
+        # page must clamp to the 0 sentinel, not wrap (numpy 1.x) or
+        # raise OverflowError (numpy 2.x)
+        yv = int(y.group(1)) if y else 0
+        years[i] = yv if 0 <= yv <= 9999 else 0
     return pa.table(
         {
             "url": urls,

@@ -50,26 +50,33 @@ def _bucket_of(df: pd.DataFrame, keys: list[str], n_buckets: int) -> np.ndarray:
 def bucketed_group_apply(
     ds: Dataset,
     keys: list[str],
-    apply: Callable[[pd.DataFrame], pd.DataFrame],
+    apply: Callable,
     n_buckets: int = 64,
+    batch_format: str = "pandas",
 ) -> Dataset:
     """Exact groupby(keys) -> `apply` over each full group, executed as
     groupby(bucket) -> vectorized apply per bucket partition.
 
     `apply` receives ALL rows of one bucket (many complete groups) and
-    must itself do the per-key pandas groupby — vectorized, not per-row.
+    must itself do the per-key groupby — vectorized, not per-row. With
+    batch_format="pyarrow" the applier gets/returns pa.Table (for stages
+    whose columns pandas mangles, e.g. list<string>).
     """
 
     def add_bucket(t: pa.Table) -> pa.Table:
         buckets = _bucket_of(t.select(keys).to_pandas(), keys, n_buckets)
         return t.append_column("__bucket", pa.array(buckets, type=pa.int32()))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return apply(g.drop(columns="__bucket"))
+    if batch_format == "pyarrow":
+        def per_bucket(t: pa.Table) -> pa.Table:
+            return apply(t.drop_columns(["__bucket"]))
+    else:
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            return apply(g.drop(columns="__bucket"))
 
     return ds.map_batches(add_bucket, batch_format="pyarrow").groupby(
         "__bucket"
-    ).map_groups(per_bucket, batch_format="pandas")
+    ).map_groups(per_bucket, batch_format=batch_format)
 
 
 def bucketed_count(

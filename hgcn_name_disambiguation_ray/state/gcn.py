@@ -71,7 +71,6 @@ class BlockEncoder:
         # inputs concatenated to (n, 3d) with fusion weights baked in,
         # weights stacked to (3d, e); Adam runs vectorized on the stack
         # float32 like the reference's TF graph (GCN.py placeholders)
-        d = features.shape[1]
         Pf2 = np.concatenate([f * p for f, p in zip(fusion, P)], axis=1).astype(np.float32)
         W2 = np.vstack(W).astype(np.float32)                              # (3d, e)
         labels = labels.astype(np.float32)

@@ -112,11 +112,20 @@ def bfs_hop_distances(adj: np.ndarray) -> np.ndarray:
 
 def build_samplers(
     layers: list[np.ndarray],
+    used_layers: set[int] | None = None,
 ) -> tuple[list[list[AliasTable | None]], list[AliasTable | None]]:
     """Neighbor samplers per (layer, node) and negative samplers over the
-    last (combined) layer's hop-distance distribution."""
+    last (combined) layer's hop-distance distribution. `used_layers`
+    restricts neighbor-table construction to the layers the metapath
+    actually indexes — the combined layer (the densest) only feeds the
+    negative samplers, so building its per-node tables is pure waste in
+    the hot per-block path. Construction consumes no RNG, so skipping
+    unused layers changes no outputs."""
     neighbor: list[list[AliasTable | None]] = []
-    for adj in layers:
+    for li, adj in enumerate(layers):
+        if used_layers is not None and li not in used_layers:
+            neighbor.append([])
+            continue
         per_node: list[AliasTable | None] = []
         for i in range(adj.shape[0]):
             w = adj[i]
@@ -142,8 +151,8 @@ def metapath_walks(
     layers: list[np.ndarray], cfg: LinkageConfig, rng: np.random.Generator
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Generate (u_i, u_j, label±1) training triples for one block."""
-    neighbor, negative = build_samplers(layers)
     metapath = cfg.metapath
+    neighbor, negative = build_samplers(layers, used_layers=set(metapath))
     n = layers[-1].shape[0]
     pool = UniformPool(rng)
     u_i: list[int] = []

@@ -137,7 +137,13 @@ def ppmi_svd(
     r = min(dim + 20, V)
     Y = M @ rng.normal(size=(V, r)).astype(np.float32)
     for _ in range(power_iters):
-        Y = M @ (M @ Y)  # M symmetric
+        # re-orthonormalize EVERY power pass (Halko et al. 2011, Alg 4.4):
+        # unorthonormalized M^(2q+1) collapses the sketch onto the top
+        # singular directions — with sigma_k/sigma_1 = 0.1 the trailing
+        # subspace signal after M^7 is ~1e-7, below float32 eps, so the
+        # lower embedding dimensions were numerically noise
+        Q, _ = np.linalg.qr(M @ Y)
+        Y = M @ Q  # M symmetric
     Q, _ = np.linalg.qr(Y)
     B = Q.T @ M
     Ub, s, _ = np.linalg.svd(B, full_matrices=False)
