@@ -298,7 +298,7 @@ def run_linkage_artifact(
 
     cfg = cfg or LinkageConfig()
     if lineage_token:
-        actual_path = f"{model_path}.{fingerprint('w2v-v1', lineage_token, cfg.feature_dim)[:16]}"
+        actual_path = f"{model_path}.{fingerprint('w2v-v2', lineage_token, cfg.feature_dim)[:16]}"
         need_train = retrain or not os.path.exists(actual_path)
     else:
         actual_path = model_path
