@@ -43,9 +43,31 @@ def _fixture(spec: dict, out_dir: str) -> str:
     from hgcn_name_disambiguation_ray.fixtures import FixtureSpec, write_fixture
 
     marker = os.path.join(out_dir, "pages.parquet")
-    if not os.path.exists(marker):
+    # spec-fingerprinted DONE marker written AFTER the parquet: a crash
+    # mid-write can no longer leave a truncated file that gets served
+    # forever, and editing the spec without bumping the dir regenerates
+    from hashlib import blake2b
+
+    fp = blake2b(repr(sorted(spec.items())).encode(), digest_size=4).hexdigest()
+    done = os.path.join(out_dir, f"_done.{fp}")
+    if not (os.path.exists(marker) and os.path.exists(done)):
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
         write_fixture(FixtureSpec(**spec), out_dir)
+        open(done, "w").close()
     return marker
+
+
+def _warm_file(path: str) -> None:
+    """Pull a file (or every parquet in a dir) through the page cache."""
+    paths = [path]
+    if os.path.isdir(path):
+        paths = [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 24):
+                pass
 
 
 def _bench_fixture_path() -> str:
@@ -78,9 +100,11 @@ def run_benchmarks() -> dict:
     from hgcn_name_disambiguation_ray.pipelines.linkage import run_linkage
 
     pages_path = _bench_fixture_path()
-    # warm the OS page cache so we measure compute + shuffle, not cold disk
-    rd.read_parquet(pages_path).count()
-    rd.read_parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    # warm the OS page cache so we measure compute + shuffle, not cold
+    # disk. NOTE: Dataset.count() on a bare read_parquet only fetches the
+    # parquet FOOTER (metadata row count) — read the actual bytes
+    _warm_file(pages_path)
+    _warm_file(os.path.join(SF_DIR, "lineitem.parquet"))
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
@@ -228,7 +252,7 @@ def run_scaling_job() -> None:
     from hgcn_name_disambiguation_ray.pipelines.linkage import run_linkage
 
     pages_path = _fixture(SCALING_SPEC, SCALING_FIXTURE_DIR)
-    rd.read_parquet(pages_path).count()  # warm page cache
+    _warm_file(pages_path)  # warm page cache (count() reads only footers)
     t0 = time.time()
     pages = rd.read_parquet(pages_path)
     n = pages.count()
@@ -260,15 +284,20 @@ def _hardware_speedup(n_procs: int) -> float:
 
 
 def _hw_probe_task(_) -> float:
-    os.environ["OMP_NUM_THREADS"] = "1"
+    # THREAD-IMMUNE workload: elementwise numpy never multithreads, so
+    # the probe measures one core per process regardless of BLAS build.
+    # (The previous small-GEMM version relied on an in-task
+    # OMP_NUM_THREADS write that is a no-op under fork — numpy/BLAS are
+    # already loaded — so an oversubscribing BLAS could have deflated
+    # the measured ceiling.)
     import numpy as np
 
     rng = np.random.default_rng(0)
-    a = rng.random((100, 300)).astype(np.float32)
-    b = rng.random((300, 100)).astype(np.float32)
+    a = rng.random(30_000).astype(np.float64)
     t0 = time.time()
-    for _i in range(8000):
-        a @ b
+    acc = a.copy()
+    for _i in range(4000):
+        acc = np.sin(acc) * 1.0001 + a
     return time.time() - t0
 
 

@@ -9,7 +9,9 @@ schema (url, warc_ts, html, text, lang) using the SAME html layout the
 fixture generator emits, so `extract_batch` round-trips the mention
 fields and the whole real corpus flows through the untouched production
 pipeline. Ground truth (label per publication) lands in a truth table
-(mention_id, person_id, block_key) for pairwise scoring.
+(mention_id, person_id, full_name) for pairwise scoring
+(full_name is the raw surface name, NOT the normalized block key —
+join on mention_id).
 
 The XML content is data, never code: parsed with ElementTree, text
 fields escaped before templating.
@@ -76,8 +78,15 @@ def arnetminer_tables(xml_dir: str) -> tuple[pa.Table, pa.Table]:
             venue = (pub.findtext("jconf") or "").strip()
             pid = (pub.findtext("id") or "").strip()
             label = (pub.findtext("label") or "").strip()
-            if not pid or not label:
-                continue  # unlabeled/malformed publication: no signal
+            if not pid or not label or not title:
+                # reference parity: name_disambiguation.py skips a
+                # publication whose title element is missing/empty, and
+                # unlabeled/malformed ones carry no signal
+                continue
+            try:
+                int(label)
+            except ValueError:
+                continue  # reference skips non-integer labels
             while pid in seen_pids:  # reference's duplicate-pid rule (:831)
                 pid = pid + "1"
             seen_pids.add(pid)

@@ -70,10 +70,16 @@ def benchmark_shingles(
         sh, _ = _shingle_hashes_flat(th, off, n)
         return pa.table({"s": pa.array(np.unique(sh), type=pa.uint64())})
 
-    parts = bench.map_batches(per_batch, batch_format="pyarrow").take_all()
-    if not parts:
+    chunks = [
+        b["s"].to_numpy(zero_copy_only=False)
+        for b in bench.map_batches(per_batch, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]  # contiguous uint64 buffers end to end — take_all would build a
+    #    per-row Python dict per shingle
+    if not chunks:
         return np.zeros(0, dtype=np.uint64)
-    return np.unique(np.asarray([r["s"] for r in parts], dtype=np.uint64))
+    return np.unique(np.concatenate(chunks))
 
 
 def decontaminate(

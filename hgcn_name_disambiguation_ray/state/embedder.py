@@ -46,7 +46,10 @@ def _parse_idf(text: str) -> dict[str, float]:
     for line in text.splitlines():
         parts = line.rsplit(" ", 1)
         if len(parts) == 2:
-            idf[parts[0]] = float(parts[1])
+            try:
+                idf[parts[0]] = float(parts[1])
+            except ValueError:
+                continue  # malformed sidecar row: skip, don't kill the actor
     return idf
 
 

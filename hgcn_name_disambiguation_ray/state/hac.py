@@ -72,7 +72,6 @@ def average_linkage_merges_with_dist(
     n = distance.shape[0]
     D = distance.astype(np.float64).copy()
     np.fill_diagonal(D, np.inf)
-    active = np.ones(n, dtype=bool)
     size = np.ones(n, dtype=np.int64)
     merges: list[tuple[int, int]] = []
     mdist = np.empty(max(0, n - 1), dtype=np.float64)
@@ -96,7 +95,6 @@ def average_linkage_merges_with_dist(
         D[j] = np.inf
         D[:, j] = np.inf
         size[i] = ni + nj
-        active[j] = False
     return merges, mdist
 
 
@@ -185,9 +183,15 @@ def ghac_auto_k_openalex(
         end_k == start_k always and the reference's ascending
         `range(start_k, end_k+1)` evaluates exactly ONE k — mirrored
         as-is (a documented reference behaviour, not re-designed).
-      * both component counts <= 1  -> k = max(2, min(n_author_ids, 10)),
-        clamped to 1 for single-publication blocks (`:622-628`).
-      * similarity graph with no edges -> same fallback (`:666-683`).
+      * the reference's own fallbacks (`:622-628` end_k<=1 and `:666-683`
+        best_k==-1) are DEAD CODE there — start_k = max(2, ...) makes
+        end_k >= 2 always, and the loop's else-branch assigns best_k on
+        the first k even with a zero-edge modularity graph — so a block
+        whose similarity graph has NO edges yields start_k =
+        components(σ>t) = n, i.e. ALL SINGLETONS. Mirrored exactly: no
+        live fallback here either (an earlier version merged zero-edge
+        blocks into max(2, min(n_author_ids, 10)) arbitrary clusters,
+        which the reference never does).
     """
     n = embed.shape[0]
     if n == 0:
@@ -196,15 +200,9 @@ def ghac_auto_k_openalex(
         return np.zeros(1, dtype=np.int64)
     sim = sigmoid_similarity_matrix(embed, combined)
     merges = average_linkage_merges(-sim)
-
-    def fallback_k() -> int:
-        k = max(2, min(n_author_ids, 10))
-        return min(k, n)
-
-    if (sim > 0).sum() == 0:  # no edges at all: modularity undefined
-        return labels_at_k(n, merges, fallback_k())
     # n_components1 >= n_components (thresholding adds components), so the
-    # reference's range(start_k, end_k+1) always degenerates to [start_k]
+    # reference's range(start_k, end_k+1) always degenerates to [start_k];
+    # a zero-edge graph gives n_components1 = n -> singletons
     n_components1 = len(np.unique(connected_components_dense(np.where(sim > threshold, sim, 0.0))))
     start_k = max(2, n_components1)
     return labels_at_k(n, merges, min(start_k, n))

@@ -101,13 +101,15 @@ def test_openalex_auto_k_degenerate_blocks():
     e1 = np.ones((1, 4))
     assert ghac_auto_k_openalex(e1, np.zeros((1, 1)), n_author_ids=3).tolist() == [0]
 
-    # no edges at all (all-isolated block): fallback k = max(2, min(ids, 10))
+    # no edges at all (all-isolated block): the reference's fallbacks are
+    # dead code (start_k = max(2, components) = n), so the result is ALL
+    # SINGLETONS — never an arbitrary merge into min(ids, 10) clusters
     rng = np.random.default_rng(0)
     e = rng.normal(size=(6, 4))
     labels = ghac_auto_k_openalex(e, np.zeros((6, 6)), n_author_ids=3)
-    assert len(set(labels.tolist())) == 3
+    assert len(set(labels.tolist())) == 6
     labels = ghac_auto_k_openalex(e, np.zeros((6, 6)), n_author_ids=1)
-    assert len(set(labels.tolist())) == 2  # max(2, ...) guard
+    assert len(set(labels.tolist())) == 6
 
     # a 2-component graph with strong within-component similarity: k equals
     # the thresholded component count (>= 2), never fewer
