@@ -43,12 +43,25 @@ def _fixture_pages_dir() -> str:
     from hgcn_name_disambiguation_ray.fixtures import FixtureSpec, write_fixture
 
     out = "/tmp/hgcn_ray_fixture_v1"
-    marker = os.path.join(out, "pages.parquet")
-    if not os.path.exists(marker):
+    done = os.path.join(out, "_done")
+    if not os.path.exists(done):
+        # build into a pid-unique tmp dir and atomically rename: a crash
+        # mid-write (or a concurrent run) must never leave a half-written
+        # fixture that bare-existence checks then serve forever
+        import shutil
+
+        tmp = f"{out}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
         write_fixture(
             FixtureSpec(n_names=4, persons_per_name=3, docs_per_person=10, hot_name_factor=3),
-            out,
+            tmp,
         )
+        open(os.path.join(tmp, "_done"), "w").close()
+        shutil.rmtree(out, ignore_errors=True)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
     return out
 
 
@@ -164,11 +177,9 @@ def _q_cooccur_pairs(sf_dir: str):
     import ray.data as rd
 
     from hgcn_name_disambiguation_ray.stages.groupagg import (
-        bucketed_count,
         bucketed_group_apply,
+        bucketed_sum,
     )
-
-    from hgcn_name_disambiguation_ray.stages.groupagg import bucketed_sum
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderdate", "o_custkey"]
@@ -1339,10 +1350,14 @@ def _q_linkage_sharded(sf_dir: str):
     from hgcn_name_disambiguation_ray.pipelines.linkage import run_linkage_sharded
 
     fdir = _fixture_pages_dir()
-    pages = rd.read_parquet(os.path.join(fdir, "pages.parquet"))
+    src = os.path.join(fdir, "pages.parquet")
+    st = os.stat(src)
+    pages = rd.read_parquet(src)
     out = run_linkage_sharded(
         pages, LinkageConfig(), checkpoint_dir="/tmp/hgcn_ray_shard_ckpt_v1",
-        lineage_token=fdir, n_shards=4,
+        # content-keyed lineage (mtime/size), not the constant path: a
+        # regenerated fixture must invalidate the persistent shards
+        lineage_token=f"{src}:{st.st_mtime_ns}:{st.st_size}", n_shards=4,
     )
     return out.to_pandas().sort_values("mention_id").reset_index(drop=True)
 

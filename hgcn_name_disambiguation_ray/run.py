@@ -80,9 +80,22 @@ def main(argv: list[str] | None = None) -> int:
         if args.salt_cap is not None:
             kw["salt_cap"] = args.salt_cap
         if args.cross_merge != "none":
+            if not args.word2vec_path:
+                p.error("--cross-merge title requires --word2vec-path "
+                        "(the artifact regime needs trained vectors; a "
+                        "missing model would silently degrade to the "
+                        "hash-projection embedder)")
             kw["cross_merge"] = args.cross_merge
             kw["word2vec_path"] = args.word2vec_path
         cfg = LinkageConfig(**kw)
+
+        import os as _os
+
+        if _os.path.isdir(args.output) and _os.listdir(args.output):
+            p.error(f"--output {args.output} exists and is not empty: "
+                    "write_parquet APPENDS uniquely-named files, so a rerun "
+                    "would silently merge stale and fresh clusters — clean "
+                    "it or choose a fresh dir")
 
         # lineage defaults to a fingerprint of the input snapshot: an
         # empty token + a reused checkpoint dir would otherwise serve a
@@ -90,10 +103,23 @@ def main(argv: list[str] | None = None) -> int:
         lineage = args.lineage_token
         if not lineage:
             import os
+            from hashlib import blake2b
 
             try:
-                st = os.stat(args.input)
-                lineage = f"auto:{args.input}:{st.st_mtime_ns}:{st.st_size}"
+                if os.path.isdir(args.input):
+                    # fingerprint the LISTING (name, mtime, size per file):
+                    # an in-place rewrite of a member file does not change
+                    # the directory inode's mtime/size
+                    parts = sorted(
+                        (f, os.stat(os.path.join(args.input, f)).st_mtime_ns,
+                         os.stat(os.path.join(args.input, f)).st_size)
+                        for f in os.listdir(args.input)
+                    )
+                    d = blake2b(repr(parts).encode(), digest_size=8).hexdigest()
+                    lineage = f"auto:{args.input}:{d}"
+                else:
+                    st = os.stat(args.input)
+                    lineage = f"auto:{args.input}:{st.st_mtime_ns}:{st.st_size}"
             except OSError:  # remote path (s3://...): key on the URI
                 lineage = f"auto:{args.input}"
 

@@ -43,8 +43,11 @@ def value_hash(df: pd.DataFrame) -> str:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         df[c] = df[c].map(
-            lambda v: str(sorted(v)) if isinstance(v, (list, tuple)) else
-            (str(list(v)) if hasattr(v, "__len__") and not isinstance(v, str) else str(v))
+            # order-PRESERVING for every container type: sorting list
+            # cells would mask genuine token-order regressions, and a
+            # list-vs-ndarray container difference must not hash apart
+            lambda v: str(list(v)) if (isinstance(v, (list, tuple)) or
+            (hasattr(v, "__len__") and not isinstance(v, str))) else str(v)
         )
     rows = sorted(df.apply(lambda r: "\x00".join(r.values), axis=1).tolist())
     return hashlib.blake2b("\n".join(rows).encode(), digest_size=12).hexdigest()
@@ -73,6 +76,12 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd gate invocation must not print 'FAILURES: none' after
+        # running nothing
+        print(f"unknown queries: {sorted(unknown)}")
+        sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
