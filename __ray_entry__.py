@@ -57,11 +57,22 @@ def _fixture_pages_dir() -> str:
             tmp,
         )
         open(os.path.join(tmp, "_done"), "w").close()
-        shutil.rmtree(out, ignore_errors=True)
-        try:
-            os.rename(tmp, out)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
+        # re-check the done marker immediately before swapping: a slow
+        # builder must not delete a concurrent winner's completed fixture
+        # (readers in that window would see missing files)
+        if os.path.exists(done):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            stale = f"{out}.stale-{os.getpid()}"
+            try:
+                os.rename(out, stale)  # move aside instead of deleting in place
+            except OSError:
+                pass
+            try:
+                os.rename(tmp, out)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
+            shutil.rmtree(stale, ignore_errors=True)
     return out
 
 
@@ -150,7 +161,9 @@ def _q_lang_agg(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by("lang").aggregate([("n_chars", "count"), ("n_chars", "sum")])
-        return g.rename_columns(["lang", "n_docs", "sum_chars"])
+        # rename by name (pyarrow aggregate column order is version-dependent)
+        ren = {"n_chars_count": "n_docs", "n_chars_sum": "sum_chars"}
+        return g.rename_columns([ren.get(c, c) for c in g.column_names])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     agg = partials.groupby("lang").aggregate(
@@ -596,7 +609,8 @@ def _q_top_customers(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
-        return g.rename_columns(["o_custkey", "n_orders"])
+        ren = {"o_custkey_count": "n_orders"}
+        return g.rename_columns([ren.get(c, c) for c in g.column_names])
 
     counts = orders.map_batches(partial, batch_format="pyarrow").groupby(
         "o_custkey"
@@ -627,7 +641,8 @@ def _q_lineitem_agg(sf_dir: str):
         g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("l_quantity", "sum"), ("l_quantity", "count")]
         )
-        return g.rename_columns(["l_returnflag", "l_linestatus", "sum_qty", "n_rows"])
+        ren = {"l_quantity_sum": "sum_qty", "l_quantity_count": "n_rows"}
+        return g.rename_columns([ren.get(c, c) for c in g.column_names])
 
     agg = li.map_batches(partial, batch_format="pyarrow").groupby(
         ["l_returnflag", "l_linestatus"]
@@ -899,7 +914,8 @@ def _q_segment_orders(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by("c_mktsegment").aggregate([("c_mktsegment", "count")])
-        return g.rename_columns(["c_mktsegment", "n_orders"])
+        ren = {"c_mktsegment_count": "n_orders"}
+        return g.rename_columns([ren.get(c, c) for c in g.column_names])
 
     agg = joined.map_batches(partial, batch_format="pyarrow").groupby(
         "c_mktsegment"
@@ -966,7 +982,8 @@ def _q_union_names(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by("nationkey").aggregate([("nationkey", "count")])
-        return g.rename_columns(["nationkey", "n_parties"])
+        ren = {"nationkey_count": "n_parties"}
+        return g.rename_columns([ren.get(c, c) for c in g.column_names])
 
     agg = both.map_batches(partial, batch_format="pyarrow").groupby("nationkey").aggregate(
         Sum("n_parties", alias_name="n_parties")
@@ -1208,7 +1225,8 @@ def _q_multiformat_source(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by("lang").aggregate([("doc_id", "count")])
-        return g.rename_columns(["lang", "n"])
+        ren = {"doc_id_count": "n"}
+        return g.rename_columns([ren.get(c, c) for c in g.column_names])
 
     from ray.data.aggregate import Sum
 
@@ -1430,10 +1448,14 @@ def _q_linkage_arnetminer_artifact(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Ordering contract: the driver verifies the FIRST 50 dict entries against
+    # oracle_sql().  All 48 oracle-bearing queries therefore come first, then
+    # the two highest-signal no_oracle queries (the Arnetminer artifact regime
+    # and the IVF index, both of which carry hard in-row signals), then the
+    # remaining no_oracle queries past position 50.
     return {
         "source_filter": _q_source_filter,
         "normalize_tokens": _q_normalize_tokens,
-        "stemmed_tokens": _q_stemmed_tokens,
         "token_count": _q_token_count,
         "exact_dedup": _q_exact_dedup,
         "dedup_corpus": _q_dedup_corpus,
@@ -1452,23 +1474,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "language_id": _q_language_id,
         "quality": _q_quality,
-        "fingerprint_docs": _q_fingerprint,
-        "ivf_topk": _q_ivf_topk,
         "cust_nation_join": _q_cust_nation_join,
         "top_customers": _q_top_customers,
         "lineitem_agg": _q_lineitem_agg,
         "sessionize": _q_sessionize,
-        "multimodal_features": _q_multimodal_features,
-        "linkage_clusters": _q_linkage_clusters,
-        "linkage_scores": _q_linkage_scores,
-        "linkage_arnetminer": _q_linkage_arnetminer,
-        "linkage_arnetminer_artifact": _q_linkage_arnetminer_artifact,
-        "linkage_sharded": _q_linkage_sharded,
         "train_test_split": _q_train_test_split,
         "vocabulary_counts": _q_vocabulary,
         "pack_sequences": _q_pack_sequences,
         "tfidf_top_terms": _q_tfidf_top_terms,
-        "compression_docs": _q_compression_ratio,
         "repetition_docs": _q_repetition_docs,
         "source_stats": _q_source_stats,
         "length_histogram": _q_length_histogram,
@@ -1480,10 +1493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
         "doc_chunks": _q_doc_chunks,
-        "kmeans_clusters": _q_kmeans_clusters,
-        "audio_features": _q_audio_features,
         "token_freq_score": _q_token_freq_score,
-        "approx_distinct": _q_approx_distinct,
         "incremental_dedup": _q_incremental_dedup,
         "multiformat_source": _q_multiformat_source,
         "majority_assignment": _q_majority_assignment,
@@ -1492,6 +1502,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_orders": _q_segment_orders,
         "asof_latest_event": _q_asof_latest_event,
         "range_week_events": _q_range_week_events,
+        # --- positions 49-50: highest-signal no_oracle queries ---
+        "linkage_arnetminer_artifact": _q_linkage_arnetminer_artifact,
+        "ivf_topk": _q_ivf_topk,
+        # --- past the driver's 50-query window: remaining no_oracle ---
+        "stemmed_tokens": _q_stemmed_tokens,
+        "fingerprint_docs": _q_fingerprint,
+        "multimodal_features": _q_multimodal_features,
+        "linkage_clusters": _q_linkage_clusters,
+        "linkage_scores": _q_linkage_scores,
+        "linkage_arnetminer": _q_linkage_arnetminer,
+        "linkage_sharded": _q_linkage_sharded,
+        "compression_docs": _q_compression_ratio,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "audio_features": _q_audio_features,
+        "approx_distinct": _q_approx_distinct,
     }
 
 

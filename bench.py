@@ -51,11 +51,31 @@ def _fixture(spec: dict, out_dir: str) -> str:
     fp = blake2b(repr(sorted(spec.items())).encode(), digest_size=4).hexdigest()
     done = os.path.join(out_dir, f"_done.{fp}")
     if not (os.path.exists(marker) and os.path.exists(done)):
+        # build into a pid-unique tmp dir and atomically rename (same
+        # pattern as __ray_entry__._fixture_pages_dir): two concurrent
+        # bench invocations must never interleave writes into the shared
+        # fixture dir or delete a fixture another process is mid-read
         import shutil
 
-        shutil.rmtree(out_dir, ignore_errors=True)
-        write_fixture(FixtureSpec(**spec), out_dir)
-        open(done, "w").close()
+        tmp = f"{out_dir}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_fixture(FixtureSpec(**spec), tmp)
+        open(os.path.join(tmp, f"_done.{fp}"), "w").close()
+        # re-check right before the swap: a concurrent winner may have
+        # completed while we were building — keep theirs, drop ours
+        if os.path.exists(marker) and os.path.exists(done):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            stale = f"{out_dir}.stale-{os.getpid()}"
+            try:
+                os.rename(out_dir, stale)  # move aside, never delete in place
+            except OSError:
+                pass
+            try:
+                os.rename(tmp, out_dir)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
+            shutil.rmtree(stale, ignore_errors=True)
     return marker
 
 

@@ -731,8 +731,10 @@ def doc_chunks(
         gather = np.repeat(off[:-1][doc_idx] + start, clen) + _grouped_arange(clen)
         new_off = np.zeros(total + 1, dtype=np.int64)
         np.cumsum(clen, out=new_off[1:])
-        chunk_lists = pa.ListArray.from_arrays(
-            pa.array(new_off.astype(np.int32)), vals.take(pa.array(gather))
+        # int64 offsets (LargeListArray): an int32 cast would silently wrap
+        # if one batch's total chunk-token count exceeded 2^31
+        chunk_lists = pa.LargeListArray.from_arrays(
+            pa.array(new_off), vals.take(pa.array(gather))
         )
         return pa.table(
             {

@@ -424,9 +424,14 @@ def kmeans_fit(
         rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
         counts = np.zeros(k, dtype=np.int64)
         sums = np.zeros_like(C)
-        # reduce in a deterministic order (cluster, count) so the update
-        # itself does not depend on block arrival order
-        for r in sorted(rows, key=lambda r: (r["c"], r["n"])):
+        # reduce in a deterministic order — (cluster, count, sum bytes) is a
+        # pure function of the partial VALUES, so float64 summation order
+        # (and thus the fitted centroids) cannot vary with block arrival
+        # order even when two blocks tie on (cluster, count)
+        def _key(r):
+            return (r["c"], r["n"], np.asarray(r["s"], dtype=np.float64).tobytes())
+
+        for r in sorted(rows, key=_key):
             counts[r["c"]] += r["n"]
             sums[r["c"]] += np.asarray(r["s"], dtype=np.float64)
         nz = counts > 0
