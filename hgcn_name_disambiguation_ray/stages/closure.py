@@ -9,67 +9,91 @@ the cluster, replacing the reference's in-memory scipy
 `connected_components` (`name_disambiguation.py:83-87,604-605`) across
 block boundaries (SURVEY.md A9).
 
-Node ids are strings (mention ids); the component id is the
-lexicographically smallest member, which makes output deterministic.
+Node ids are strings (mention ids) or integers (doc ids); the component
+id is the smallest member (lexicographic for strings), which makes
+output deterministic.
+
+All star-contraction rounds are Arrow-native (pyarrow group_by /
+hash-join / compute kernels) — no pandas conversion on the all-to-all
+hot path. The gated small-graph path is a vectorized numpy min-label
+propagation, not a per-edge Python loop.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
+
+
+def _distinct_uv(t: pa.Table) -> pa.Table:
+    """Arrow-native per-partition DISTINCT (u, v)."""
+    return t.group_by(["u", "v"]).aggregate([])
 
 
 def _large_star(edges: Dataset, n_buckets: int = 64) -> Dataset:
     """For each node u: m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u.
 
     Node groups are high-cardinality, so the per-node contraction runs
-    through the bucketed pattern — vectorized pandas per partition, never
-    a Ray dispatch per node."""
+    through the bucketed pattern — Arrow kernels per bucket, never a Ray
+    dispatch per node."""
     from hgcn_name_disambiguation_ray.stages.groupagg import bucketed_group_apply
 
-    def sym(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"a": pd.concat([df["u"], df["v"]]), "b": pd.concat([df["v"], df["u"]])}
+    def sym(t: pa.Table) -> pa.Table:
+        # zero-copy symmetrization: chunked concat, no buffer rewrite
+        return pa.table(
+            {
+                "a": pa.chunked_array([t["u"].combine_chunks(), t["v"].combine_chunks()]),
+                "b": pa.chunked_array([t["v"].combine_chunks(), t["u"].combine_chunks()]),
+            }
         )
 
-    def contract(df: pd.DataFrame) -> pd.DataFrame:
-        m = df.groupby("a")["b"].transform("min")
-        m = m.where(m < df["a"], df["a"])
-        keep = df["b"] > df["a"]
-        return pd.DataFrame({"u": df.loc[keep, "b"], "v": m[keep]}).drop_duplicates()
+    def contract(t: pa.Table) -> pa.Table:
+        g = t.group_by("a").aggregate([("b", "min")])
+        j = t.join(g, keys="a")
+        m = pc.min_element_wise(j["b_min"], j["a"])
+        keep = pc.greater(j["b"], j["a"])
+        out = pa.table({"u": j["b"], "v": m}).filter(keep)
+        return _distinct_uv(out)
 
-    symmetric = edges.map_batches(sym, batch_format="pandas")
-    return bucketed_group_apply(symmetric, ["a"], contract, n_buckets=n_buckets)
+    symmetric = edges.map_batches(sym, batch_format="pyarrow")
+    return bucketed_group_apply(
+        symmetric, ["a"], contract, n_buckets=n_buckets, batch_format="pyarrow"
+    )
 
 
 def _small_star(edges: Dataset, n_buckets: int = 64) -> Dataset:
     """Orient edges to (max, min); per node u: m = min(N(u) ∪ {u});
-    emit (v, m) for v in N(u) ∪ {u}, v != m. Vectorized per bucket."""
+    emit (v, m) for v in N(u) ∪ {u}, v != m. Arrow kernels per bucket."""
     from hgcn_name_disambiguation_ray.stages.groupagg import bucketed_group_apply
 
-    def orient(df: pd.DataFrame) -> pd.DataFrame:
-        hi = df[["u", "v"]].max(axis=1)
-        lo = df[["u", "v"]].min(axis=1)
-        keep = hi != lo
-        return pd.DataFrame({"a": hi[keep], "b": lo[keep]})
+    def orient(t: pa.Table) -> pa.Table:
+        hi = pc.max_element_wise(t["u"], t["v"])
+        lo = pc.min_element_wise(t["u"], t["v"])
+        out = pa.table({"a": hi, "b": lo})
+        return out.filter(pc.not_equal(hi, lo))
 
-    def contract(df: pd.DataFrame) -> pd.DataFrame:
-        m = df.groupby("a")["b"].transform("min")  # min neighbor; all b < a here
-        nbr = pd.DataFrame({"u": df["b"], "v": m})
-        self_rows = pd.DataFrame({"u": df["a"], "v": m}).drop_duplicates("u")
-        out = pd.concat([nbr, self_rows], ignore_index=True)
-        return out[out["u"] != out["v"]].drop_duplicates()
+    def contract(t: pa.Table) -> pa.Table:
+        # all b < a after orientation, so min(N(a) ∪ {a}) = min(b) per a
+        g = t.group_by("a").aggregate([("b", "min")])
+        j = t.join(g, keys="a")
+        nbr = pa.table({"u": j["b"], "v": j["b_min"]})
+        self_rows = pa.table({"u": g["a"], "v": g["b_min"]})
+        out = pa.concat_tables([nbr, self_rows])
+        return _distinct_uv(out.filter(pc.not_equal(out["u"], out["v"])))
 
-    oriented = edges.map_batches(orient, batch_format="pandas")
-    return bucketed_group_apply(oriented, ["a"], contract, n_buckets=n_buckets)
+    oriented = edges.map_batches(orient, batch_format="pyarrow")
+    return bucketed_group_apply(
+        oriented, ["a"], contract, n_buckets=n_buckets, batch_format="pyarrow"
+    )
 
 
 def _checksum(edges: Dataset) -> tuple[int, int]:
     """(row_count, order-insensitive content hash) for convergence tests."""
 
     def h(df: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
         if len(df) == 0:
             return pd.DataFrame({"h": [0], "n": [0]})
         # convergence compares signatures ACROSS ROUNDS of one driver run,
@@ -79,8 +103,6 @@ def _checksum(edges: Dataset) -> tuple[int, int]:
         return pd.DataFrame({"h": [int(np.bitwise_xor.reduce(vals))], "n": [len(df)]})
 
     parts = edges.map_batches(h, batch_format="pandas").to_pandas()
-    import numpy as np
-
     if len(parts) == 0:
         return (0, 0)
     return (
@@ -89,36 +111,87 @@ def _checksum(edges: Dataset) -> tuple[int, int]:
     )
 
 
+def _min_label_components(e_u: np.ndarray, e_v: np.ndarray, n: int) -> np.ndarray:
+    """Vectorized min-label propagation with pointer jumping + edge
+    contraction over integer node codes (Shiloach-Vishkin-style hook and
+    compress): labels start as own code; every pass hooks each edge's
+    endpoints to the min incident label, fully path-compresses
+    (l = l[l] to fixpoint), then rewrites the edges to their current
+    labels and drops intra-component edges — so the edge set shrinks
+    geometrically and the loop ends when no cross-label edge remains.
+    Labels are monotone non-increasing and bounded below by the component
+    min, so the fixpoint IS the per-component min code. O(log n) passes,
+    each a few numpy kernels over the (shrinking) edge arrays; no
+    per-edge Python loop."""
+    labels = np.arange(n, dtype=np.int64)
+    e_u = np.ascontiguousarray(e_u, dtype=np.int64)
+    e_v = np.ascontiguousarray(e_v, dtype=np.int64)
+    while len(e_u):
+        nxt = labels.copy()
+        np.minimum.at(nxt, e_u, labels[e_v])
+        np.minimum.at(nxt, e_v, labels[e_u])
+        while True:
+            jumped = nxt[nxt]
+            if np.array_equal(jumped, nxt):
+                break
+            nxt = jumped
+        labels = nxt
+        e_u = labels[e_u]
+        e_v = labels[e_v]
+        keep = e_u != e_v
+        e_u, e_v = e_u[keep], e_v[keep]
+    return labels
+
+
+def _factorize_sorted(chunks: list[pa.Array]) -> tuple[pa.Array, np.ndarray]:
+    """(sorted unique ids, int64 codes in id order) for the concatenated
+    chunks. Arrow dictionary-encode (hash, no sort) + a sort of only the
+    UNIQUE dictionary — ~5x faster than np.unique on object strings,
+    which sorts the full concatenated array under Python comparisons."""
+    all_arr = pa.chunked_array(chunks).combine_chunks()
+    enc = pc.dictionary_encode(all_arr)
+    dic = enc.dictionary
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = pc.sort_indices(dic).to_numpy(zero_copy_only=False).astype(np.int64)
+    rank = np.empty(len(dic), dtype=np.int64)
+    rank[order] = np.arange(len(dic), dtype=np.int64)
+    return dic.take(pa.array(order)), rank[idx]
+
+
 def _local_components(edges: Dataset) -> Dataset:
-    """Driver-side union-find for provably small edge sets (streamed in
-    batches, never a single to_pandas of a big set)."""
+    """Driver-side components for provably small edge sets (gated by
+    LOCAL_CLOSURE_MAX_EDGES): stream the batches in as Arrow, factorize
+    node ids to integer codes once, then run the vectorized min-label
+    propagation — no per-edge Python loop anywhere."""
     import ray.data as rd
 
-    parent: dict[str, str] = {}
-
-    def find(x: str) -> str:
-        root = x
-        while parent.setdefault(root, root) != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    for batch in edges.iter_batches(batch_size=65536, batch_format="pandas"):
-        for u, v in zip(batch["u"], batch["v"]):
-            ru, rv = find(u), find(v)
-            if ru != rv:
-                if rv < ru:
-                    ru, rv = rv, ru
-                parent[rv] = ru
-    rows = {"mention_id": list(parent), "component": [find(x) for x in parent]}
-    return rd.from_pandas(pd.DataFrame(rows)) if parent else rd.from_pandas(
-        pd.DataFrame({"mention_id": pd.Series(dtype=object), "component": pd.Series(dtype=object)})
+    us: list[pa.Array] = []
+    vs: list[pa.Array] = []
+    n_edges = 0
+    for batch in edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        if batch.num_rows:
+            for col, acc in ((batch["u"], us), (batch["v"], vs)):
+                acc.append(
+                    col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                )
+            n_edges += batch.num_rows
+    if not n_edges:
+        return rd.from_pandas(
+            pd.DataFrame(
+                {"mention_id": pd.Series(dtype=object), "component": pd.Series(dtype=object)}
+            )
+        )
+    # sorted uniques => code order == id order, so the min CODE per
+    # component is the min ID (lexicographic for strings)
+    nodes, codes = _factorize_sorted(us + vs)
+    labels = _min_label_components(codes[:n_edges], codes[n_edges:], len(nodes))
+    return rd.from_arrow(
+        pa.table({"mention_id": nodes, "component": nodes.take(pa.array(labels))})
     )
 
 
 # below this many edges the all-to-all star-contraction rounds cost more
-# than streaming the edge list through one driver-side union-find
+# than streaming the edge list through one driver-side pass
 LOCAL_CLOSURE_MAX_EDGES = 2_000_000
 
 
@@ -129,7 +202,7 @@ def connected_components(
     appears in an edge. Isolated nodes don't appear (callers union them).
 
     Small edge sets (post-blocking candidate edges are usually tiny
-    relative to the input) take the driver union-find path; large ones
+    relative to the input) take the driver min-label path; large ones
     run the distributed star-contraction. `force_distributed` runs the
     star-contraction regardless of size (tests / conformance)."""
     edges = edges.materialize()
@@ -146,7 +219,7 @@ def connected_components(
         # pin each round: without this the lazy lineage grows round over
         # round and every checksum re-executes the whole history
         cur = _small_star(_large_star(cur, n_buckets), n_buckets).map_batches(
-            lambda df: df.drop_duplicates(), batch_format="pandas"
+            _distinct_uv, batch_format="pyarrow"
         ).materialize()
         sig = _checksum(cur)
         if sig == prev_sig:
@@ -163,31 +236,36 @@ def connected_components(
             "raise max_rounds"
         )
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({"mention_id": df["u"], "component": df["v"]})
-        roots = pd.DataFrame({"mention_id": df["v"].unique()})
-        roots["component"] = roots["mention_id"]
-        return pd.concat([out, roots], ignore_index=True)
+    def finalize(t: pa.Table) -> pa.Table:
+        out = pa.table({"mention_id": t["u"], "component": t["v"]})
+        roots = pc.unique(t["v"].combine_chunks())
+        return pa.concat_tables(
+            [out, pa.table({"mention_id": roots, "component": roots})]
+        )
 
-    def self_nodes(df: pd.DataFrame) -> pd.DataFrame:
+    def self_nodes(t: pa.Table) -> pa.Table:
         # a node whose only edges are self-loops never survives the star
         # rounds (both stars drop u == v), but it DOES 'appear in an edge'
         # — emit (x, x); the final per-node min merges it away whenever
         # the node also reached a real root
-        x = df.loc[df["u"] == df["v"], "u"].unique()
-        return pd.DataFrame({"mention_id": x, "component": x})
+        x = pc.unique(t.filter(pc.equal(t["u"], t["v"]))["u"].combine_chunks())
+        return pa.table({"mention_id": x, "component": x})
 
-    mapped = cur.map_batches(finalize, batch_format="pandas").union(
-        edges.map_batches(self_nodes, batch_format="pandas")
+    mapped = cur.map_batches(finalize, batch_format="pyarrow").union(
+        edges.map_batches(self_nodes, batch_format="pyarrow")
     )
     # a root may appear in several batches; dedup to the min component per
     # node. mention_id is the highest-cardinality key in the pipeline, so
-    # this runs through the bucketed pattern (vectorized pandas per bucket),
+    # this runs through the bucketed pattern (Arrow kernels per bucket),
     # never a Ray dispatch per node.
     from hgcn_name_disambiguation_ray.stages.groupagg import bucketed_group_apply
 
+    def min_component(t: pa.Table) -> pa.Table:
+        g = t.group_by("mention_id").aggregate([("component", "min")])
+        # rename by name (pyarrow aggregate column order is version-dependent)
+        ren = {"component_min": "component"}
+        return g.rename_columns([ren.get(c, c) for c in g.column_names])
+
     return bucketed_group_apply(
-        mapped,
-        ["mention_id"],
-        lambda df: df.groupby("mention_id", as_index=False, sort=False)["component"].min(),
+        mapped, ["mention_id"], min_component, batch_format="pyarrow"
     )

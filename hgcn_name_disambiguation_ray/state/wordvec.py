@@ -49,8 +49,21 @@ def _token_lists(t: pa.Table, tokens_col: str) -> tuple[np.ndarray, np.ndarray]:
     return flat, offsets
 
 
-def vocab_doc_freq(ds: Dataset, tokens_col: str, max_vocab: int) -> tuple[pd.DataFrame, int]:
-    """(top-V DataFrame(token, df), n_docs) — df = docs containing token."""
+_DOCS_SENTINEL = "\x00__docs__"
+
+
+def _pruned_vocab_dataset(
+    ds: Dataset, tokens_col: str, max_vocab: int, n_buckets: int = 32
+) -> Dataset:
+    """Distributed doc-frequency counting with a per-block top-V prune.
+
+    The bucketed sum co-locates each token in exactly one bucket, so the
+    buckets PARTITION the vocabulary: the global top-V by (df desc,
+    token asc) is contained in the union of per-block top-Vs. Each block
+    therefore keeps only its local V best rows plus one sentinel rider
+    carrying the block's doc-count total — the driver receives at most
+    n_blocks * (max_vocab + 1) rows, never the full distinct-token frame
+    (billions of rows at web scale)."""
 
     def partial(t: pa.Table) -> pa.Table:
         flat, offsets = _token_lists(t, tokens_col)
@@ -62,13 +75,45 @@ def vocab_doc_freq(ds: Dataset, tokens_col: str, max_vocab: int) -> tuple[pd.Dat
         if len(cnt):
             cnt.loc[cnt.index[0], "n_docs"] = n  # batch doc count rides on one row
         elif n:
-            cnt = pd.DataFrame({"token": ["\x00__docs__"], "df": [0], "n_docs": [n]})
+            cnt = pd.DataFrame({"token": [_DOCS_SENTINEL], "df": [0], "n_docs": [n]})
         return pa.Table.from_pandas(cnt, preserve_index=False)
 
+    def prune(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # fold the block's doc-count riders into ONE sentinel row, then
+        # keep only the block-local top-V real tokens
+        n_docs_blk = int(pc.sum(t["n_docs"]).as_py() or 0)
+        real = t.filter(pc.not_equal(t["token"], _DOCS_SENTINEL))
+        top = real.sort_by([("df", "descending"), ("token", "ascending")]).slice(
+            0, max_vocab
+        )
+        rider = pa.table(
+            {
+                "token": pa.array([_DOCS_SENTINEL]),
+                "df": pa.array([0], type=top["df"].type),
+                "n_docs": pa.array([n_docs_blk], type=top["n_docs"].type),
+            }
+        )
+        zeros = pa.array(np.zeros(top.num_rows, dtype=np.int64)).cast(
+            top["n_docs"].type
+        )
+        top = top.set_column(top.schema.get_field_index("n_docs"), "n_docs", zeros)
+        return pa.concat_tables([top.select(rider.column_names), rider])
+
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    summed = bucketed_sum(partials, ["token"], ["df", "n_docs"], n_buckets=32).to_pandas()
+    summed = bucketed_sum(partials, ["token"], ["df", "n_docs"], n_buckets=n_buckets)
+    return summed.map_batches(prune, batch_format="pyarrow")
+
+
+def vocab_doc_freq(ds: Dataset, tokens_col: str, max_vocab: int) -> tuple[pd.DataFrame, int]:
+    """(top-V DataFrame(token, df), n_docs) — df = docs containing token.
+    The driver-side frame is bounded by n_blocks * (max_vocab + 1) rows
+    (per-block top-V prune in `_pruned_vocab_dataset`), not the corpus's
+    distinct-token count."""
+    summed = _pruned_vocab_dataset(ds, tokens_col, max_vocab).to_pandas()
     n_docs = int(summed["n_docs"].sum())
-    summed = summed[summed["token"] != "\x00__docs__"]
+    summed = summed[summed["token"] != _DOCS_SENTINEL]
     top = summed.sort_values(["df", "token"], ascending=[False, True]).head(max_vocab)
     return top[["token", "df"]].reset_index(drop=True), n_docs
 
