@@ -694,13 +694,15 @@ def _q_sessionize(sf_dir: str):
 
 
 def _q_multimodal_features(sf_dir: str):
-    """Multimodal pipeline over REAL binary PPM image payloads (decoded
-    by the engine's pure-numpy uncompressed-format parser, fake=False —
-    the stub is only for compressed codecs this container can't ship).
-    Each payload is a deterministic per-doc gradient image with varying
-    dims, so decode/resize/featurize all do real work."""
+    """Multimodal pipeline over REAL image payloads — binary PPM for
+    even doc ids, PNG (stdlib-zlib codec, filters cycling 0-4) for odd
+    ones — decoded fake=False; the stub is only for JPEG, which this
+    container can't decode. Each payload is a deterministic per-doc
+    gradient image with varying dims, so decode/resize/featurize all do
+    real work."""
     from hgcn_name_disambiguation_ray.stages.multimodal import (
         decode_resize_featurize,
+        synth_png,
         synth_ppm,
     )
 
@@ -709,20 +711,24 @@ def _q_multimodal_features(sf_dir: str):
     def to_items(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["doc_id"].to_pandas(), dtype=np.int64)
         payloads = []
+        mimes = []
         for i in ids:
             w, h = 16 + int(i % 7), 16 + int(i % 5)
             y, x = np.mgrid[0:h, 0:w]
             img = np.stack(
                 [(x * 7 + i) % 256, (y * 11 + i) % 256, (x + y + i) % 256], axis=-1
             ).astype(np.uint8)
-            payloads.append(synth_ppm(img))
+            if i % 2:
+                payloads.append(synth_png(img))
+                mimes.append("image/png")
+            else:
+                payloads.append(synth_ppm(img))
+                mimes.append("image/x-portable-pixmap")
         return pa.table(
             {
                 "item_id": pa.array([f"img-{i}" for i in ids], type=pa.string()),
                 "payload": pa.array(payloads, type=pa.binary()),
-                "mime": pa.array(
-                    ["image/x-portable-pixmap"] * len(ids), type=pa.string()
-                ),
+                "mime": pa.array(mimes, type=pa.string()),
                 "width": pa.array((16 + ids % 7).astype(np.int32)),
                 "height": pa.array((16 + ids % 5).astype(np.int32)),
             }

