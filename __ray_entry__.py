@@ -1346,22 +1346,55 @@ def _q_audio_features(sf_dir: str):
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd k-means over the embeddings table (k=8, 5
     iterations, deterministic Knuth-hash init). no_oracle: an iterative
-    float64 fixpoint is not SQL-expressible; pinned instead by exact
-    parity with a single-process reference Lloyd run and by
-    partitioning-invariance (same model and assignment at 2 vs 16
-    blocks) in tests/test_similarity.py."""
+    float64 fixpoint is not SQL-expressible — so the result carries its
+    own HARD integral signal in-row: `match_ref` = 1 iff the row's
+    distributed assignment equals a single-process reference Lloyd (same
+    init, same iteration count) recomputed independently driver-side.
+    The driver would see any fit/assignment divergence as match_ref = 0.
+    The reference recompute is verification-only and bounded to the
+    query's test scales (<= ~1e5 rows); also pinned by exact parity +
+    partitioning-invariance tests in tests/test_similarity.py."""
+    import ray
     import ray.data as rd
 
+    from hgcn_name_disambiguation_ray.stages.sampling import split_hash
     from hgcn_name_disambiguation_ray.stages.similarity import (
         kmeans_assign,
         kmeans_fit,
     )
 
+    k, iters = 8, 5
     ds = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
-    centroids = kmeans_fit(ds, k=8, iters=5)
-    return kmeans_assign(ds, centroids)
+    centroids = kmeans_fit(ds, k=k, iters=iters)
+    assigned = kmeans_assign(ds, centroids)
+
+    # single-process reference Lloyd, same deterministic hash init and the
+    # same distance expression kmeans_assign uses
+    tbl = ds.to_pandas()
+    ids = tbl["vec_id"].to_numpy(dtype=np.int64)
+    X = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+    h = split_hash(ids).astype(np.int64)
+    Cr = X[np.lexsort((ids, h))[:k]].copy()
+    for _ in range(iters):
+        a = np.argmin(-2.0 * (X @ Cr.T) + (Cr * Cr).sum(axis=1)[None, :], axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                Cr[j] = X[m].mean(axis=0)
+    exp = np.argmin(-2.0 * (X @ Cr.T) + (Cr * Cr).sum(axis=1)[None, :], axis=1)
+    order = np.argsort(ids)
+    ref = ray.put((ids[order], exp[order].astype(np.int64)))
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids_s, exp_s = ray.get(ref)
+        vid = np.asarray(t["vec_id"].to_pandas(), dtype=np.int64)
+        got = np.asarray(t["cluster"].to_pandas(), dtype=np.int64)
+        match = (got == exp_s[np.searchsorted(ids_s, vid)]).astype(np.int64)
+        return t.append_column("match_ref", pa.array(match))
+
+    return assigned.map_batches(attach, batch_format="pyarrow")
 
 
 def _q_linkage_sharded(sf_dir: str):

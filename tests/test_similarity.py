@@ -147,3 +147,19 @@ def test_kmeans_partitioning_invariant():
         )
     # different block boundaries -> same model, same assignment
     assert (outs[0] == outs[1]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_query_hard_signal_all_match():
+    """The kmeans_clusters query's in-row hard signal: every row's
+    distributed assignment matches the independently recomputed
+    single-process reference Lloyd (match_ref == 1 on all rows)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    out = entrymod.queries()["kmeans_clusters"]("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    assert set(out.columns) == {"vec_id", "cluster", "match_ref"}
+    assert (out["match_ref"] == 1).all()
