@@ -157,7 +157,8 @@ def run_benchmarks() -> dict:
             .group_by("l_returnflag")
             .aggregate([("l_quantity", "sum"), ("revenue", "sum")])
         )
-        return g.rename_columns(["l_returnflag", "sum_qty", "sum_rev"])
+        ren = {"l_quantity_sum": "sum_qty", "revenue_sum": "sum_rev"}
+        return g.rename_columns([ren.get(c, c) for c in g.column_names])
 
     li.map_batches(revenue, batch_format="pyarrow").groupby("l_returnflag").aggregate(
         Sum("sum_qty", alias_name="sum_qty"), Sum("sum_rev", alias_name="sum_rev")

@@ -130,6 +130,21 @@ def _w2v_blob_ref(cfg: LinkageConfig):
     return ray.put((w2v, idf))
 
 
+def _scorer_parts(n_rows: int, cfg: LinkageConfig) -> int:
+    """Shuffle-partition count for the scorer stage: ~4x cluster CPUs at
+    scale (keeps every core busy, bounds straggler tails), CAPPED by the
+    input size — the shuffle's output-partition count follows its input
+    block count, and a small input split into 4xCPU near-empty blocks
+    pays fixed per-block scheduling overhead through EVERY downstream
+    stage (scorer, hot-root signal shuffles, relabel) for no parallelism
+    gain. Measured on the 5k-page bench fixture at 32 cpus: scorer+merge
+    15.2 s at ~20 parts vs 32.9 s at 128. The row cap targets ~one
+    salt-cap-sized sub-block per partition."""
+    by_cpu = max(8, 4 * int(ray.cluster_resources().get("CPU", 8)))
+    by_rows = max(8, -(-n_rows // max(cfg.salt_cap, 64)))
+    return min(by_cpu, by_rows)
+
+
 def _merge_hot_relabel(
     clusters: Dataset, salt_map: dict, cfg: LinkageConfig, out_cols: list[str]
 ) -> Dataset:
@@ -223,12 +238,7 @@ def run_linkage(
         concurrency=(1, 8),
     )
 
-    # the shuffle's output-partition count follows its INPUT block count;
-    # small inputs otherwise collapse to a handful of partitions and the
-    # scorer (the dominant stage) loses its parallelism. ~4x cluster CPUs
-    # keeps every core busy and bounds straggler tails at any scale.
-    n_parts = max(8, 4 * int(ray.cluster_resources().get("CPU", 8)))
-    salted = salted.repartition(n_parts)
+    salted = salted.repartition(_scorer_parts(mentions.count(), cfg))
 
     w2v_ref = _w2v_blob_ref(cfg)
 
@@ -427,8 +437,7 @@ def _score_and_merge(mentions: Dataset, cfg: LinkageConfig, salt_map: dict) -> D
         AssignSalt, fn_constructor_args=(salt_ref,), batch_format="pyarrow",
         concurrency=(1, 8),
     )
-    n_parts = max(8, 4 * int(ray.cluster_resources().get("CPU", 8)))
-    salted = salted.repartition(n_parts)
+    salted = salted.repartition(_scorer_parts(mentions.count(), cfg))
     clusters = salted.groupby(["block_key", "salt"]).map_groups(
         BlockScorer, fn_constructor_args=(cfg, False, bool(salt_map), _w2v_blob_ref(cfg)),
         batch_format="pyarrow", concurrency=cfg.scorer_concurrency,
