@@ -1451,8 +1451,9 @@ def _q_linkage_arnetminer_artifact(sf_dir: str):
     PPMI-SVD word vectors + unmasked cross-component GHAC (ghac_hybrid).
     Re-creates the regime behind the reference's COMMITTED artifacts
     (macro F1 0.892 from an external word2vec model its repo doesn't
-    ship); measured here ≥ 0.75 vs 0.609 for the faithful default —
-    the macro row in the output carries the hard signal."""
+    ship); measured here ≥ 0.78 (round 4: venue tokens joined the vector
+    training corpus and the title vector) vs 0.609 for the faithful
+    default — the macro row in the output carries the hard signal."""
     import ray.data as rd
 
     from hgcn_name_disambiguation_ray.pipelines.linkage import (

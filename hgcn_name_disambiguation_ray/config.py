@@ -67,8 +67,16 @@ class LinkageConfig:
     cross_shift: float = 2.0      # within-edge sim offset (dominates cross sims)
     cross_hop2_beta: float = 0.5  # bonus for 2-hop coauthor-linked cross pairs
     # adaptive cut tau = clip(a - b*edge_density - c*mean_cross_sim, lo, hi);
-    # fitted on Arnetminer with a held-out split (BASELINE.md round 3)
-    cross_tau_rule: tuple[float, float, float, float, float] = (0.9, 0.45, 1.2, 0.35, 0.75)
+    # refit round 4 for the venue-augmented vectors with the same 2-fold
+    # holdout protocol as round 3 (fold-fit 0.791/0.785 holdout; the old
+    # (0.9, 0.45, 1.2, 0.35, 0.75) measures 0.7819 end-to-end vs 0.7833)
+    cross_tau_rule: tuple[float, float, float, float, float] = (1.0, 0.45, 1.5, 0.30, 0.75)
+    # weight multiplier for venue/host tokens mixed into the cross-
+    # component title vector (0 = title tokens only). Only read by the
+    # hybrid (cross_merge="title") path; 3.0 fitted on Arnetminer with
+    # the round-4 sweep (0.778 at 0 -> 0.787 at 3.0, plateau 1.0-3.0;
+    # venue tokens also join the vector TRAINING corpus, state/wordvec.py)
+    cross_title_host_w: float = 3.0
     # extended-coauthor derivation (stages/coent.py): names with more
     # than this many distinct collaborators are hubs with no
     # discriminative 2-hop signal — their neighbor sets are dropped

@@ -184,3 +184,14 @@ def explode_list(col: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarra
     )
     flat = np.asarray(pc.list_flatten(col).to_pandas(), dtype=object)
     return flat, lens
+
+
+def host_tokens(host: str | None) -> list[str]:
+    """Venue/host string -> lowercase alnum tokens (len > 1). Used both
+    when venue tokens join the word-vector TRAINING corpus
+    (state/wordvec.py) and when they mix into the cross-component title
+    vector (`LinkageConfig.cross_title_host_w`) — one tokenizer, so
+    train/serve vocab agree."""
+    import re
+
+    return [w for w in re.split(r"[^a-z0-9]+", (host or "").lower()) if len(w) > 1]

@@ -308,7 +308,8 @@ def run_linkage_artifact(
 
     cfg = cfg or LinkageConfig()
     if lineage_token:
-        actual_path = f"{model_path}.{fingerprint('w2v-v2', lineage_token, cfg.feature_dim)[:16]}"
+        # v3: venue/host tokens joined the training corpus (round 4)
+        actual_path = f"{model_path}.{fingerprint('w2v-v3', lineage_token, cfg.feature_dim)[:16]}"
         need_train = retrain or not os.path.exists(actual_path)
     else:
         actual_path = model_path
@@ -317,7 +318,7 @@ def run_linkage_artifact(
     if need_train:
         mentions = extract_mentions(pages, cfg).materialize()
         train_word_vectors(mentions, actual_path, tokens_col="tokens",
-                           dim=cfg.feature_dim)
+                           dim=cfg.feature_dim, host_col="host")
     import dataclasses
 
     cfg = dataclasses.replace(cfg, cross_merge="title", word2vec_path=actual_path)

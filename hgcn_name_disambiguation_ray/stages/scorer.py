@@ -258,7 +258,15 @@ class BlockScorer:
         encoder = BlockEncoder(cfg, seed ^ 0x5A5A5A5A)
         embed = encoder.fit_embed(layers[:3], feats, u_i, u_j, lab)
         if hybrid:
-            tv = self.embedder.weighted_features(tokens_raw)
+            if cfg.cross_title_host_w > 0.0:
+                from hgcn_name_disambiguation_ray.functions.text import host_tokens
+
+                tv = self.embedder.weighted_features(
+                    tokens_raw, [host_tokens(h) for h in hosts],
+                    cfg.cross_title_host_w,
+                )
+            else:
+                tv = self.embedder.weighted_features(tokens_raw)
             hop2 = hop2_matrix(coentities, coentities_ext or coentities)
             return ghac_hybrid(embed, layers[-1], tv, hop2,
                                shift=cfg.cross_shift,

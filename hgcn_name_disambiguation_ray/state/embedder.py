@@ -128,28 +128,40 @@ class HashEmbedder:
                 out[i] = np.mean(vs, axis=0)
         return out
 
-    def weighted_features(self, token_lists: list[list[str]]) -> np.ndarray:
+    def weighted_features(
+        self,
+        token_lists: list[list[str]],
+        extra_lists: list[list[str]] | None = None,
+        extra_w: float = 0.0,
+    ) -> np.ndarray:
         """Idf-weighted mean of L2-NORMALIZED in-vocab token vectors —
         the cross-component title representation of the artifact-regime
         GHAC (downweights promiscuous words, equalizes token norms).
         Tokens without a model vector are skipped; all-OOV rows are
-        zeros. Falls back to `features` when no idf sidecar is loaded."""
+        zeros. Falls back to `features` when no idf sidecar is loaded.
+
+        `extra_lists` (e.g. venue tokens) mix in per row with their idf
+        scaled by `extra_w` — the `cross_title_host_w` knob."""
         if not self._idf or self._model is None:
             return self.features(token_lists)
         out = np.zeros((len(token_lists), self.dim))
         for i, toks in enumerate(token_lists):
             acc = np.zeros(self.dim)
             wsum = 0.0
-            for t in toks:
-                v = self._model.get(t)
-                if v is None:
-                    continue
-                nv = np.linalg.norm(v)
-                if nv <= 0:
-                    continue
-                w = self._idf.get(t, 1.0)
-                acc += (v / nv) * w
-                wsum += w
+            weighted = [(toks, 1.0)]
+            if extra_lists is not None and extra_w > 0.0:
+                weighted.append((extra_lists[i], extra_w))
+            for tok_group, mult in weighted:
+                for t in tok_group:
+                    v = self._model.get(t)
+                    if v is None:
+                        continue
+                    nv = np.linalg.norm(v)
+                    if nv <= 0:
+                        continue
+                    w = self._idf.get(t, 1.0) * mult
+                    acc += (v / nv) * w
+                    wsum += w
             if wsum > 0:
                 out[i] = acc / wsum
         return out

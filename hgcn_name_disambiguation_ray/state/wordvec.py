@@ -53,7 +53,11 @@ _DOCS_SENTINEL = "\x00__docs__"
 
 
 def _pruned_vocab_dataset(
-    ds: Dataset, tokens_col: str, max_vocab: int, n_buckets: int = 32
+    ds: Dataset,
+    tokens_col: str,
+    max_vocab: int,
+    n_buckets: int = 32,
+    idf_col: str | None = None,
 ) -> Dataset:
     """Distributed doc-frequency counting with a per-block top-V prune.
 
@@ -63,7 +67,11 @@ def _pruned_vocab_dataset(
     therefore keeps only its local V best rows plus one sentinel rider
     carrying the block's doc-count total — the driver receives at most
     n_blocks * (max_vocab + 1) rows, never the full distinct-token frame
-    (billions of rows at web scale)."""
+    (billions of rows at web scale).
+
+    When `idf_col` names a SECOND token-list column, each row also
+    carries `df_idf` = distinct-doc count over that column (the idf
+    weighting target when training tokens ⊃ title tokens)."""
 
     def partial(t: pa.Table) -> pa.Table:
         flat, offsets = _token_lists(t, tokens_col)
@@ -71,11 +79,22 @@ def _pruned_vocab_dataset(
         doc = np.repeat(np.arange(n), np.diff(offsets))
         df = pd.DataFrame({"doc": doc, "token": flat}).drop_duplicates()
         cnt = df.groupby("token", sort=False).size().reset_index(name="df")
+        if idf_col is not None:
+            flat_i, offsets_i = _token_lists(t, idf_col)
+            doc_i = np.repeat(np.arange(len(offsets_i) - 1), np.diff(offsets_i))
+            dfi = pd.DataFrame({"doc": doc_i, "token": flat_i}).drop_duplicates()
+            cnt_i = dfi.groupby("token", sort=False).size().reset_index(name="df_idf")
+            cnt = cnt.merge(cnt_i, on="token", how="left")
+            cnt["df_idf"] = cnt["df_idf"].fillna(0).astype(np.int64)
+        else:
+            cnt["df_idf"] = cnt["df"]
         cnt["n_docs"] = 0
         if len(cnt):
             cnt.loc[cnt.index[0], "n_docs"] = n  # batch doc count rides on one row
         elif n:
-            cnt = pd.DataFrame({"token": [_DOCS_SENTINEL], "df": [0], "n_docs": [n]})
+            cnt = pd.DataFrame(
+                {"token": [_DOCS_SENTINEL], "df": [0], "df_idf": [0], "n_docs": [n]}
+            )
         return pa.Table.from_pandas(cnt, preserve_index=False)
 
     def prune(t: pa.Table) -> pa.Table:
@@ -92,6 +111,7 @@ def _pruned_vocab_dataset(
             {
                 "token": pa.array([_DOCS_SENTINEL]),
                 "df": pa.array([0], type=top["df"].type),
+                "df_idf": pa.array([0], type=top["df_idf"].type),
                 "n_docs": pa.array([n_docs_blk], type=top["n_docs"].type),
             }
         )
@@ -102,20 +122,25 @@ def _pruned_vocab_dataset(
         return pa.concat_tables([top.select(rider.column_names), rider])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    summed = bucketed_sum(partials, ["token"], ["df", "n_docs"], n_buckets=n_buckets)
+    summed = bucketed_sum(
+        partials, ["token"], ["df", "df_idf", "n_docs"], n_buckets=n_buckets
+    )
     return summed.map_batches(prune, batch_format="pyarrow")
 
 
-def vocab_doc_freq(ds: Dataset, tokens_col: str, max_vocab: int) -> tuple[pd.DataFrame, int]:
-    """(top-V DataFrame(token, df), n_docs) — df = docs containing token.
-    The driver-side frame is bounded by n_blocks * (max_vocab + 1) rows
-    (per-block top-V prune in `_pruned_vocab_dataset`), not the corpus's
-    distinct-token count."""
-    summed = _pruned_vocab_dataset(ds, tokens_col, max_vocab).to_pandas()
+def vocab_doc_freq(
+    ds: Dataset, tokens_col: str, max_vocab: int, idf_col: str | None = None
+) -> tuple[pd.DataFrame, int]:
+    """(top-V DataFrame(token, df, df_idf), n_docs) — df = docs containing
+    token in `tokens_col`; df_idf the same over `idf_col` (defaults to
+    df). The driver-side frame is bounded by n_blocks * (max_vocab + 1)
+    rows (per-block top-V prune in `_pruned_vocab_dataset`), not the
+    corpus's distinct-token count."""
+    summed = _pruned_vocab_dataset(ds, tokens_col, max_vocab, idf_col=idf_col).to_pandas()
     n_docs = int(summed["n_docs"].sum())
     summed = summed[summed["token"] != _DOCS_SENTINEL]
     top = summed.sort_values(["df", "token"], ascending=[False, True]).head(max_vocab)
-    return top[["token", "df"]].reset_index(drop=True), n_docs
+    return top[["token", "df", "df_idf"]].reset_index(drop=True), n_docs
 
 
 def cooccurrence_triples(
@@ -197,6 +222,27 @@ def ppmi_svd(
     return (U[:, :d] * np.sqrt(s[:d])).astype(np.float64)
 
 
+def _with_host_tokens(tokens_col: str, host_col: str, out_col: str):
+    """Batch fn: out_col = tokens_col ++ host_tokens(host_col) per row —
+    venue/host words join the co-occurrence corpus (they discriminate
+    entities sharing generic title words; measured +0.022 macro F1 on
+    Arnetminer, BASELINE.md round 4)."""
+    from hgcn_name_disambiguation_ray.functions.text import host_tokens
+
+    def body(t: pa.Table) -> pa.Table:
+        toks = t[tokens_col].to_pylist()
+        hosts = t[host_col].to_pylist()
+        combined = [
+            (list(tok) if tok is not None else []) + host_tokens(h)
+            for tok, h in zip(toks, hosts)
+        ]
+        return t.append_column(
+            out_col, pa.array(combined, type=pa.list_(pa.string()))
+        )
+
+    return body
+
+
 def train_word_vectors(
     ds: Dataset,
     out_path: str,
@@ -204,15 +250,31 @@ def train_word_vectors(
     dim: int = 100,
     max_vocab: int = 12000,
     seed: int = 7,
+    host_col: str | None = None,
 ) -> str:
     """Train PPMI-SVD token vectors over `ds[tokens_col]` and write them
     in word2vec text format to `out_path` (+ `<out_path>.idf` sidecar
-    with per-token idf weights). Returns `out_path`."""
-    vocab_df, n_docs = vocab_doc_freq(ds, tokens_col, max_vocab)
+    with per-token idf weights). Returns `out_path`.
+
+    With `host_col`, venue/host tokens join each doc's co-occurrence
+    context (vocab ranked by combined doc frequency) while the idf
+    sidecar stays computed over `tokens_col` alone — the title tokens
+    are the weighting target, and venue-only tokens deliberately land
+    high-idf (they are strong entity discriminators)."""
+    train_col = tokens_col
+    if host_col is not None:
+        train_col = "__train_tokens"
+        ds = ds.map_batches(
+            _with_host_tokens(tokens_col, host_col, train_col),
+            batch_format="pyarrow",
+        )
+    vocab_df, n_docs = vocab_doc_freq(
+        ds, train_col, max_vocab, idf_col=tokens_col if host_col else None
+    )
     tokens = vocab_df["token"].tolist()
     widx = {t: i for i, t in enumerate(tokens)}
     widx_ref = ray.put(widx)
-    triples = cooccurrence_triples(ds, tokens_col, widx_ref)
+    triples = cooccurrence_triples(ds, train_col, widx_ref)
     W = ppmi_svd(triples, len(tokens), dim, seed=seed)
     tmp = out_path + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
@@ -220,7 +282,7 @@ def train_word_vectors(
         for t, v in zip(tokens, W):
             f.write(t + " " + " ".join(f"{x:.6g}" for x in v) + "\n")
     os.replace(tmp, out_path)
-    idf = np.log(n_docs / (1 + vocab_df["df"].to_numpy()))
+    idf = np.log(n_docs / (1 + vocab_df["df_idf"].to_numpy()))
     with open(out_path + ".idf.tmp", "w", encoding="utf-8") as f:
         for t, w in zip(tokens, idf):
             f.write(f"{t} {w:.6g}\n")

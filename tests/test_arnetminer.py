@@ -53,9 +53,11 @@ def test_arnetminer_artifact_regime_floor(ray_session, tmp_path):
     vectors + unmasked cross-component ghac_hybrid) must beat the
     faithful default by a wide margin — it re-creates the regime behind
     the reference's committed artifacts (0.892 with an external model the
-    reference repo doesn't ship). Measured 2026-08: macro F1 ~0.76; the
-    floor sits under it to catch regressions, well above the faithful
-    path's 0.609."""
+    reference repo doesn't ship). Measured 2026-08 round 4: macro F1
+    0.7833 (venue tokens in the training corpus + title vector, refit
+    adaptive cut); the floor sits just under it to catch regressions,
+    far above the faithful path's 0.609. The pipeline is fully seeded, so
+    the margin only needs to absorb environment drift, not randomness."""
     import ray.data as rd
 
     from hgcn_name_disambiguation_ray.pipelines.linkage import (
@@ -71,5 +73,5 @@ def test_arnetminer_artifact_regime_floor(ray_session, tmp_path):
     )
     scores = pairwise_scores(clusters_with_truth(clusters, truth))
     macro = scores[scores["block_key"] == "__macro__"].iloc[0]
-    assert macro["f1"] >= 0.72, macro
+    assert macro["f1"] >= 0.78, macro
     assert len(scores) == 111
