@@ -694,12 +694,14 @@ def _q_sessionize(sf_dir: str):
 
 
 def _q_multimodal_features(sf_dir: str):
-    """Multimodal pipeline over REAL image payloads — binary PPM for
-    even doc ids, PNG (stdlib-zlib codec, filters cycling 0-4) for odd
-    ones — decoded fake=False; the stub is only for JPEG, which this
-    container can't decode. Each payload is a deterministic per-doc
+    """Multimodal pipeline over REAL image payloads — binary PPM, PNG
+    (stdlib-zlib codec, filters cycling 0-4) and baseline JPEG (pure
+    numpy Huffman+IDCT codec, 4:4:4 and 4:2:0 alternating) round-robin
+    by doc id — all decoded fake=False; the stub remains only for
+    progressive JPEG / MP4. Each payload is a deterministic per-doc
     gradient image with varying dims, so decode/resize/featurize all do
     real work."""
+    from hgcn_name_disambiguation_ray.functions.jpeg import synth_jpeg
     from hgcn_name_disambiguation_ray.stages.multimodal import (
         decode_resize_featurize,
         synth_png,
@@ -718,12 +720,15 @@ def _q_multimodal_features(sf_dir: str):
             img = np.stack(
                 [(x * 7 + i) % 256, (y * 11 + i) % 256, (x + y + i) % 256], axis=-1
             ).astype(np.uint8)
-            if i % 2:
+            if i % 3 == 0:
+                payloads.append(synth_ppm(img))
+                mimes.append("image/x-portable-pixmap")
+            elif i % 3 == 1:
                 payloads.append(synth_png(img))
                 mimes.append("image/png")
             else:
-                payloads.append(synth_ppm(img))
-                mimes.append("image/x-portable-pixmap")
+                payloads.append(synth_jpeg(img, quality=95, subsample=bool(i % 2)))
+                mimes.append("image/jpeg")
         return pa.table(
             {
                 "item_id": pa.array([f"img-{i}" for i in ids], type=pa.string()),

@@ -1,0 +1,664 @@
+"""Baseline JPEG (ITU-T T.81 sequential DCT) codec in pure numpy + stdlib.
+
+The container ships no imaging library, but baseline JPEG needs none: the
+format is canonical Huffman coding + an 8x8 DCT, both implementable with
+`struct` and numpy. `decode_jpeg` handles the overwhelming majority of
+web JPEGs — baseline (SOF0) and extended-sequential (SOF1) 8-bit scans,
+grayscale or YCbCr, any sampling factors up to 2x2 (4:4:4 / 4:2:2 /
+4:2:0), restart intervals — and raises ValueError on anything else
+(progressive SOF2, arithmetic coding, 12-bit). `synth_jpeg` writes a
+spec-compliant baseline file (Annex K quant + Huffman tables) so tests
+can round-trip without external fixtures; any standard viewer opens its
+output.
+
+Reference parity note: the reference repo has no imaging code either —
+this module exists for the engine's multimodal-column surface
+(stages/multimodal.py), where image decode is an actor-pool map_batches
+stage. Entropy decode is inherently sequential per block (each Huffman
+code's length is only known after decoding it), so that part walks
+coefficients in Python; everything block-parallel — level shift, DCT /
+IDCT, quantization, zigzag, color transform, upsampling — is vectorized
+numpy over ALL blocks of a component at once.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# -- constants (ITU-T T.81 Annex K) -----------------------------------------
+
+# zigzag position -> row-major index inside an 8x8 block
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+_QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+
+_QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# (bits-per-length[1..16], symbol values) per Annex K table
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix T: forward F = T B T', inverse
+    B = T' F T (T.81 A.3.3 with the 1/2 C(u) normalization folded in)."""
+    n = np.arange(8, dtype=np.float64)
+    k = n.reshape(-1, 1)
+    t = 0.5 * np.cos((2.0 * n + 1.0) * k * np.pi / 16.0)
+    t[0, :] = 0.5 / np.sqrt(2.0)
+    return t
+
+
+_DCT = _dct_matrix()
+
+
+def _scale_quant(table: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 1..100 -> scaled Annex-K table, clipped to
+    [1, 255] (8-bit Pq)."""
+    q = int(min(100, max(1, quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return np.clip((table * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+# -- canonical Huffman -------------------------------------------------------
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) for the encoder (T.81 C.2 code assignment)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_lut(bits: list[int], vals: list[int]) -> tuple[np.ndarray, np.ndarray]:
+    """Flat 16-bit-prefix lookup for the decoder: peek 16 bits, index the
+    LUT, get (symbol, code length) in O(1). length 0 marks an invalid
+    prefix (corrupt stream)."""
+    sym = np.full(1 << 16, -1, dtype=np.int16)
+    ln = np.zeros(1 << 16, dtype=np.uint8)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            span = 1 << (16 - length)
+            sym[lo : lo + span] = vals[k]
+            ln[lo : lo + span] = length
+            code += 1
+            k += 1
+        if code > (1 << length) - 1 + 1:
+            raise ValueError("invalid Huffman table (overfull)")
+        code <<= 1
+    return sym, ln
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing (T.81 F.1.2.3)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            byte = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.acc = 0
+            self.n = 0
+
+
+class _BitReader:
+    """MSB-first reader over an already-destuffed entropy segment; reads
+    past the end return zero bits (the spec pads the final byte)."""
+
+    __slots__ = ("data", "pos", "nbits")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data + b"\x00\x00\x00"
+        self.pos = 0
+        self.nbits = len(data) * 8
+
+    def peek16(self) -> int:
+        if self.pos > self.nbits + 7:
+            raise ValueError("truncated JPEG entropy stream")
+        byte = self.pos >> 3
+        d = self.data
+        v = (d[byte] << 16) | (d[byte + 1] << 8) | d[byte + 2]
+        return (v >> (8 - (self.pos & 7))) & 0xFFFF
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > self.nbits + 7:
+            raise ValueError("truncated JPEG entropy stream")
+        v = self.peek16() >> (16 - n)
+        self.pos += n
+        return v
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map an s-bit magnitude to its signed value."""
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+# -- encoder ------------------------------------------------------------------
+
+
+def _to_blocks(plane: np.ndarray, by: int, bx: int) -> np.ndarray:
+    """Pad a 2-D plane (edge-replicate) to (by*8, bx*8) and return the
+    (by, bx, 8, 8) block view."""
+    h, w = plane.shape
+    padded = np.pad(plane, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge")
+    return padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+
+
+def _fdct_quant(blocks: np.ndarray, qtab64: np.ndarray) -> np.ndarray:
+    """(by, bx, 8, 8) spatial -> (by, bx, 64) quantized coefs in zigzag
+    order, all blocks at once."""
+    f = np.einsum("ij,abjk,lk->abil", _DCT, blocks - 128.0, _DCT, optimize=True)
+    q = np.round(f / qtab64.reshape(8, 8)).astype(np.int64)
+    return q.reshape(q.shape[0], q.shape[1], 64)[..., ZIGZAG]
+
+
+def _encode_block(
+    bw: _BitWriter,
+    coefs: np.ndarray,
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    dc = int(coefs[0])
+    diff = dc - pred
+    s = _category(diff)
+    code, length = dc_codes[s]
+    bw.write(code, length)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    nz = np.flatnonzero(coefs[1:])
+    last = int(nz[-1]) + 1 if nz.size else 0
+    run = 0
+    for k in range(1, last + 1):
+        v = int(coefs[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = ac_codes[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, length = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+    return dc
+
+
+def synth_jpeg(
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    gray: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> a real baseline JPEG payload. 4:4:4 by
+    default; `subsample=True` writes 4:2:0 (2x2 luma sampling) to
+    exercise the decoder's chroma upsampling; `gray=True` writes a
+    1-component luminance-only file; `restart_interval` emits DRI + RSTn
+    markers every that many MCUs. Annex-K tables at the IJG quality
+    scaling; any standard viewer opens the output."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("synth_jpeg needs (h, w, 3) uint8 RGB")
+    h, w = pixels.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    rgb = pixels.astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    q_luma = _scale_quant(_QUANT_LUMA, quality)
+    q_chroma = _scale_quant(_QUANT_CHROMA, quality)
+
+    if gray:
+        hmax = vmax = 1
+        comps = [(y, q_luma, 1, 1, 0)]
+    elif subsample:
+        hmax = vmax = 2
+        # 2x2 box-mean chroma (pad odd dims by edge replication first)
+        cbp = np.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge")
+        crp = np.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge")
+        ch, cw = cbp.shape[0] // 2, cbp.shape[1] // 2
+        cb_s = cbp.reshape(ch, 2, cw, 2).mean(axis=(1, 3))
+        cr_s = crp.reshape(ch, 2, cw, 2).mean(axis=(1, 3))
+        comps = [(y, q_luma, 2, 2, 0), (cb_s, q_chroma, 1, 1, 1), (cr_s, q_chroma, 1, 1, 1)]
+    else:
+        hmax = vmax = 1
+        comps = [(y, q_luma, 1, 1, 0), (cb, q_chroma, 1, 1, 1), (cr, q_chroma, 1, 1, 1)]
+
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coef_grids = []
+    for plane, qtab, hi, vi, _qid in comps:
+        by, bx = mcuy * vi, mcux * hi
+        coef_grids.append(_fdct_quant(_to_blocks(plane, by, bx), qtab))
+
+    dc_l = _huff_codes(*_DC_LUMA)
+    ac_l = _huff_codes(*_AC_LUMA)
+    dc_c = _huff_codes(*_DC_CHROMA)
+    ac_c = _huff_codes(*_AC_CHROMA)
+    huff = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
+
+    bw = _BitWriter()
+    preds = [0] * len(comps)
+    done = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and done and done % restart_interval == 0:
+                bw.flush()
+                bw.buf.extend((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                preds = [0] * len(comps)
+            for ci, (_plane, _qtab, hi, vi, _qid) in enumerate(comps):
+                for dy in range(vi):
+                    for dx in range(hi):
+                        coefs = coef_grids[ci][my * vi + dy, mx * hi + dx]
+                        preds[ci] = _encode_block(
+                            bw, coefs, preds[ci], huff[ci][0], huff[ci][1]
+                        )
+            done += 1
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    seg(0xDB, bytes([0x00]) + bytes(q_luma[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        seg(0xDB, bytes([0x01]) + bytes(q_chroma[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, (_p, _q, hi, vi, qid) in enumerate(comps, start=1):
+        sof += struct.pack(">BBB", cid, (hi << 4) | vi, qid)
+    seg(0xC0, sof)
+    tables = [(0, 0, _DC_LUMA), (1, 0, _AC_LUMA)]
+    if not gray:
+        tables += [(0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)]
+    for cls, tid, (bits, vals) in tables:
+        seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(comps)])
+    for cid in range(1, len(comps) + 1):
+        tid = 0 if cid == 1 else 1
+        sos += struct.pack(">BB", cid, (tid << 4) | tid)
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+    out.extend(bw.buf)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+# -- decoder ------------------------------------------------------------------
+
+
+def _decode_block(
+    br: _BitReader,
+    dc_lut: tuple[np.ndarray, np.ndarray],
+    ac_lut: tuple[np.ndarray, np.ndarray],
+    pred: int,
+) -> tuple[np.ndarray, int]:
+    """One block of entropy decode -> (64 quantized coefs in zigzag order,
+    new DC predictor)."""
+    out = np.zeros(64, dtype=np.int64)
+    sym_t, len_t = dc_lut
+    v = br.peek16()
+    length = int(len_t[v])
+    if length == 0:
+        raise ValueError("corrupt JPEG (invalid DC Huffman code)")
+    br.pos += length
+    s = int(sym_t[v])
+    if s > 15:
+        raise ValueError("corrupt JPEG (DC category > 15)")
+    dc = pred + (_extend(br.read(s), s) if s else 0)
+    out[0] = dc
+    sym_t, len_t = ac_lut
+    k = 1
+    while k < 64:
+        v = br.peek16()
+        length = int(len_t[v])
+        if length == 0:
+            raise ValueError("corrupt JPEG (invalid AC Huffman code)")
+        br.pos += length
+        rs = int(sym_t[v])
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("corrupt JPEG (AC run past block end)")
+        out[k] = _extend(br.read(s), s)
+        k += 1
+    return out, dc
+
+
+def _idct_all(coefs: np.ndarray) -> np.ndarray:
+    """(by, bx, 8, 8) dequantized natural-order coefs -> spatial samples,
+    all blocks at once."""
+    return (
+        np.einsum("ji,abjk,kl->abil", _DCT, coefs, _DCT, optimize=True) + 128.0
+    )
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline/extended-sequential JPEG -> (h, w, 3) uint8 RGB.
+    Grayscale expands to RGB; 4:2:0 / 4:2:2 chroma upsamples by sample
+    replication (nearest), matching the spec's minimum decoder. Raises
+    ValueError on progressive (SOF2), arithmetic-coded, 12-bit, or
+    corrupt input."""
+    if not payload.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG (missing SOI)")
+    qtabs: dict[int, np.ndarray] = {}
+    hufs: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    frame = None  # (h, w, [(cid, hi, vi, qid)])
+    restart_interval = 0
+    scan = None  # ([(comp_idx, dc_tid, ac_tid)], entropy bytes)
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG (expected marker)")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + length]
+        if len(body) < length - 2:
+            raise ValueError("truncated JPEG segment")
+        pos += 2 + length
+        if marker == 0xDB:  # DQT (possibly several tables)
+            b = body
+            while b:
+                pq, tq = b[0] >> 4, b[0] & 0x0F
+                if pq != 0:
+                    raise ValueError("unsupported JPEG (16-bit quant table)")
+                if len(b) < 65:
+                    raise ValueError("truncated DQT")
+                zz = np.frombuffer(b[1:65], dtype=np.uint8).astype(np.int64)
+                nat = np.zeros(64, dtype=np.int64)
+                nat[ZIGZAG] = zz
+                qtabs[tq] = nat
+                b = b[65:]
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("unsupported JPEG (12-bit precision)")
+            comps = []
+            for i in range(nc):
+                cid, samp, qid = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                comps.append((cid, samp >> 4, samp & 0x0F, qid))
+            frame = (fh, fw, comps)
+        elif marker == 0xC2:
+            raise ValueError("unsupported JPEG (progressive)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG (non-baseline SOF)")
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            b = body
+            while b:
+                cls, tid = b[0] >> 4, b[0] & 0x0F
+                bits = list(b[1:17])
+                count = sum(bits)
+                vals = list(b[17 : 17 + count])
+                if len(vals) < count:
+                    raise ValueError("truncated DHT")
+                hufs[(cls, tid)] = _huff_lut(bits, vals)
+                b = b[17 + count :]
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG scan before frame header")
+            ns = body[0]
+            sel = []
+            cid_to_idx = {c[0]: i for i, c in enumerate(frame[2])}
+            for i in range(ns):
+                cid, tids = body[1 + 2 * i], body[2 + 2 * i]
+                if cid not in cid_to_idx:
+                    raise ValueError("JPEG scan references unknown component")
+                sel.append((cid_to_idx[cid], tids >> 4, tids & 0x0F))
+            # entropy data runs to the next non-RST, non-stuffed marker
+            end = pos
+            while end + 1 < n:
+                if payload[end] == 0xFF and payload[end + 1] not in (0x00,) and not (
+                    0xD0 <= payload[end + 1] <= 0xD7
+                ):
+                    break
+                end += 1
+            scan = (sel, payload[pos:end])
+            pos = end
+            break  # single-scan baseline: decode now
+        # APPn / COM / anything else: skipped via its length
+    if frame is None or scan is None:
+        raise ValueError("missing JPEG frame or scan")
+    fh, fw, comps = frame
+    if fh == 0 or fw == 0:
+        raise ValueError("empty JPEG")
+    sel, entropy = scan
+    if len(sel) != len(comps):
+        raise ValueError("unsupported JPEG (multi-scan)")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
+        raise ValueError("unsupported JPEG (sampling factor > 2)")
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+
+    # split entropy data into restart segments, destuffing each
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = 0
+    m = len(entropy)
+    while i < m:
+        byte = entropy[i]
+        if byte == 0xFF and i + 1 < m:
+            nxt = entropy[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(byte)
+        i += 1
+    segments.append(bytes(cur))
+
+    grids = []
+    for _cid, hi, vi, qid in comps:
+        if qid not in qtabs:
+            raise ValueError("JPEG component references missing quant table")
+        grids.append(np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64))
+
+    mcus_per_seg = restart_interval if restart_interval else mcuy * mcux
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    preds = [0] * len(comps)
+    done = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if done and done % mcus_per_seg == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("truncated JPEG (missing restart segment)")
+                br = _BitReader(segments[seg_idx])
+                preds = [0] * len(comps)
+            for comp_idx, dc_tid, ac_tid in sel:
+                _cid, hi, vi, _qid = comps[comp_idx]
+                dc_lut = hufs.get((0, dc_tid))
+                ac_lut = hufs.get((1, ac_tid))
+                if dc_lut is None or ac_lut is None:
+                    raise ValueError("JPEG scan references missing Huffman table")
+                for dy in range(vi):
+                    for dx in range(hi):
+                        coefs, preds[comp_idx] = _decode_block(
+                            br, dc_lut, ac_lut, preds[comp_idx]
+                        )
+                        grids[comp_idx][my * vi + dy, mx * hi + dx] = coefs
+            done += 1
+
+    planes = []
+    for (grid, (_cid, hi, vi, qid)) in zip(grids, comps):
+        by, bx = grid.shape[0], grid.shape[1]
+        deq = (grid * qtabs[qid][None, None, :]).astype(np.float64)
+        nat = np.zeros((by, bx, 64), dtype=np.float64)
+        nat[..., ZIGZAG] = deq
+        spatial = _idct_all(nat.reshape(by, bx, 8, 8))
+        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        # upsample to full resolution by sample replication, then crop
+        plane = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
+        planes.append(plane[:fh, :fw])
+
+    if len(planes) == 1:
+        ych = np.clip(planes[0], 0, 255)
+        return np.repeat(ych[..., None], 3, axis=2).astype(np.uint8)
+    if len(planes) != 3:
+        raise ValueError(f"unsupported JPEG ({len(planes)} components)")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).round().astype(np.uint8)

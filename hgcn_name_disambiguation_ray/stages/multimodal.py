@@ -6,10 +6,12 @@ batch sizes for wide rows, actor-pool stage shape, output layout — is
 real and tested. Decode is REAL with no external library for: 24-bit BMP
 and binary PPM images (pure-numpy parsers below), PNG (stdlib zlib
 inflate + vectorized per-row unfilter, 8-bit gray/RGB/palette/alpha,
-`decode_png` below), and RIFF/WAV PCM audio (stdlib `wave`);
-`AudioFeatures` computes genuine DSP (RMS, zero-crossing rate, FFT
-spectral centroid). Only codecs with no stdlib path (JPEG/MP4 — the
-container ships no imaging/video libraries) are stubbed: `DecodeImage` /
+`decode_png` below), baseline JPEG (pure-numpy Huffman + IDCT,
+`functions/jpeg.py` — gray/4:4:4/4:2:2/4:2:0, restart intervals), and
+RIFF/WAV PCM audio (stdlib `wave`); `AudioFeatures` computes genuine DSP
+(RMS, zero-crossing rate, FFT spectral centroid). Only codecs with no
+stdlib path (progressive JPEG / MP4 — the container ships no
+imaging/video libraries) are stubbed: `DecodeImage` /
 `SampleFrames` raise NotImplementedError for them unless `fake=True`, in
 which case a clearly-marked deterministic fake derives pseudo pixels
 from the payload hash so downstream stages (resize / feature-extract /
@@ -87,6 +89,10 @@ class DecodeImage:
             real = decode_ppm
         elif payload.startswith(_PNG_SIG):
             real = decode_png
+        elif payload.startswith(b"\xff\xd8"):
+            from hgcn_name_disambiguation_ray.functions.jpeg import decode_jpeg
+
+            real = decode_jpeg
         if real is not None:
             try:
                 return real(payload)
@@ -98,9 +104,10 @@ class DecodeImage:
                     raise
         if not self.fake:
             raise NotImplementedError(
-                "JPEG decode is not available in this environment "
-                "(BMP, binary PPM and PNG decode for real); construct "
-                "DecodeImage(fake=True) for the deterministic stub"
+                "unrecognized image format (BMP, binary PPM, PNG and "
+                "baseline JPEG decode for real; progressive JPEG and "
+                "exotic formats do not); construct DecodeImage(fake=True) "
+                "for the deterministic stub"
             )
         rng = np.random.default_rng(stable_hash64(payload.hex() if payload else ""))
         return rng.integers(0, 256, size=(height, width, self.channels), dtype=np.uint8)

@@ -1,0 +1,128 @@
+"""Baseline JPEG codec (functions/jpeg.py): round trips, decoder paths,
+error handling, and DecodeImage dispatch."""
+
+import numpy as np
+import pytest
+
+from hgcn_name_disambiguation_ray.functions.jpeg import decode_jpeg, synth_jpeg
+
+
+def _gradient(h: int, w: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+
+
+def test_constant_color_roundtrip_exact():
+    img = np.full((16, 24, 3), 130, dtype=np.uint8)
+    out = decode_jpeg(synth_jpeg(img, quality=95))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() == 0
+
+
+def test_gradient_roundtrip_close_444():
+    img = _gradient(33, 41)
+    out = decode_jpeg(synth_jpeg(img, quality=95))
+    d = np.abs(out.astype(int) - img.astype(int))
+    assert out.shape == img.shape
+    assert d.max() <= 8 and d.mean() <= 2.0
+
+
+def test_gradient_roundtrip_close_420():
+    img = _gradient(33, 41)
+    out = decode_jpeg(synth_jpeg(img, quality=95, subsample=True))
+    d = np.abs(out.astype(int) - img.astype(int))
+    # chroma is box-averaged 2x2 then replicated back: looser bound
+    assert out.shape == img.shape
+    assert d.max() <= 24 and d.mean() <= 5.0
+
+
+def test_grayscale_component_expands_to_rgb():
+    img = _gradient(20, 18)
+    out = decode_jpeg(synth_jpeg(img, quality=95, gray=True))
+    assert out.shape == img.shape
+    assert (out[..., 0] == out[..., 1]).all() and (out[..., 1] == out[..., 2]).all()
+    luma = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    assert np.abs(out[..., 0].astype(float) - luma).max() <= 6
+
+
+def test_restart_intervals_decode_identically():
+    img = _gradient(33, 41)
+    plain = decode_jpeg(synth_jpeg(img, quality=92))
+    for ri in (1, 2, 5):
+        payload = synth_jpeg(img, quality=92, restart_interval=ri)
+        assert b"\xff\xdd" in payload  # DRI marker present
+        assert (decode_jpeg(payload) == plain).all()
+
+
+def test_restart_with_subsampling():
+    img = _gradient(40, 40)
+    plain = decode_jpeg(synth_jpeg(img, quality=90, subsample=True))
+    rst = decode_jpeg(synth_jpeg(img, quality=90, subsample=True, restart_interval=1))
+    assert (rst == plain).all()
+
+
+def test_non_multiple_of_mcu_dims_crop_back():
+    for h, w in [(1, 1), (7, 9), (8, 8), (17, 16), (15, 31)]:
+        img = np.stack(
+            [(np.arange(h * w) % 256).reshape(h, w).astype(np.uint8)] * 3, axis=-1
+        )
+        for sub in (False, True):
+            out = decode_jpeg(synth_jpeg(img, quality=95, subsample=sub))
+            assert out.shape == (h, w, 3)
+
+
+def test_deterministic_encode_and_decode():
+    img = _gradient(24, 24)
+    p1, p2 = synth_jpeg(img), synth_jpeg(img)
+    assert p1 == p2
+    assert (decode_jpeg(p1) == decode_jpeg(p2)).all()
+
+
+def test_quality_monotonicity():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8).astype(np.uint8)
+    errs = []
+    for q in (30, 60, 95):
+        out = decode_jpeg(synth_jpeg(img, quality=q))
+        errs.append(np.abs(out.astype(int) - img.astype(int)).mean())
+    assert errs[0] >= errs[1] >= errs[2]
+
+
+def test_corrupt_payloads_raise_valueerror():
+    img = _gradient(16, 16)
+    good = synth_jpeg(img, quality=90)
+    bad_cases = [
+        b"",
+        b"\x89PNG not a jpeg",
+        b"\xff\xd8\xff\xe0junk",
+        good[: len(good) // 2],  # truncated mid-scan
+        good[:2] + b"\xff\xc2" + good[4:],  # progressive SOF marker
+    ]
+    for bad in bad_cases:
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+
+
+def test_corrupt_entropy_stream_raises():
+    img = _gradient(16, 16)
+    good = bytearray(synth_jpeg(img, quality=90))
+    # stomp the middle of the entropy data with an invalid-prefix pattern;
+    # either a bad Huffman code or a run past block end must surface as
+    # ValueError, never silence or an index crash
+    sos = bytes(good).find(b"\xff\xda")
+    start = sos + 14
+    good[start : start + 8] = b"\xaa" * 8
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(good))
+
+
+def test_decode_image_stage_dispatches_jpeg():
+    from hgcn_name_disambiguation_ray.stages.multimodal import DecodeImage
+
+    img = _gradient(12, 14)
+    payload = synth_jpeg(img, quality=95)
+    out = DecodeImage(fake=False)._decode(payload, 14, 12)
+    assert out.shape == (12, 14, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 8

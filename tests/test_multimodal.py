@@ -254,13 +254,16 @@ def test_decode_image_real_formats_without_fake():
 def test_decode_image_compressed_still_raises_without_fake():
     from hgcn_name_disambiguation_ray.stages.multimodal import DecodeImage
 
-    # JPEG has no stdlib decode path and stays stubbed
-    with pytest.raises(NotImplementedError):
+    # a JPEG-signature payload with garbage segments is a DECODE error
+    # (the baseline codec is real now), not a missing-codec error
+    with pytest.raises(ValueError):
         DecodeImage(fake=False)._decode(b"\xff\xd8\xff\xe0 not a real jpeg", 4, 4)
-    # a real-PNG-signature payload with garbage chunks is a DECODE error
-    # (the codec is real now), not a missing-codec error
+    # a real-PNG-signature payload with garbage chunks likewise
     with pytest.raises(ValueError):
         DecodeImage(fake=False)._decode(b"\x89PNG\r\n\x1a\n" + b"junk" * 4, 4, 4)
+    # an unrecognized format is the missing-codec error
+    with pytest.raises(NotImplementedError):
+        DecodeImage(fake=False)._decode(b"\x00\x00\x00\x18ftypmp42 video", 4, 4)
 
 
 def test_png_roundtrip_exact_all_filters():
