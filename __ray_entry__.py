@@ -1348,6 +1348,80 @@ def _q_audio_features(sf_dir: str):
     return feats.map_batches(attach, batch_format="pyarrow")
 
 
+def _q_video_frames(sf_dir: str):
+    """REAL video frame sampling: per-doc MJPEG-in-MP4 payloads (frames
+    encoded by the in-repo JPEG codec, muxed by functions/mp4.synth_mp4
+    with multi-chunk sample tables), demuxed and decoded fake=False by
+    SampleFrames — ISO BMFF stsd/stts/stsc/stsz/stco parse, mdat slice,
+    JPEG decode, all in-engine. no_oracle (container parsing + DCT are
+    not SQL-expressible), so the result carries a HARD integral signal
+    in-row: `match_direct` = 1 iff the pipeline's decoded pixels are
+    byte-identical to an independent decode_jpeg of the regenerated
+    source frame — any mux/demux offset error or codec divergence shows
+    up as 0. Pinned in tests/test_mp4.py."""
+    from hgcn_name_disambiguation_ray.functions.jpeg import decode_jpeg, synth_jpeg
+    from hgcn_name_disambiguation_ray.functions.mp4 import synth_mp4
+    from hgcn_name_disambiguation_ray.stages.multimodal import sample_frames
+
+    n_src, k = 6, 3  # 6 muxed frames, sample 3 -> source indices 1, 3, 5
+
+    def frame_img(doc_id: int, fi: int) -> "np.ndarray":
+        w, h = 16 + int(doc_id % 5), 16 + int(doc_id % 3)
+        y, x = np.mgrid[0:h, 0:w]
+        return np.stack(
+            [(x * 5 + doc_id + fi * 17) % 256, (y * 9 + fi * 3) % 256, (x + y + fi * 29) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+
+    def to_videos(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_pandas(), dtype=np.int64)
+        payloads = []
+        for i in ids:
+            frames = [synth_jpeg(frame_img(int(i), fi), quality=92) for fi in range(n_src)]
+            payloads.append(
+                synth_mp4(frames, width=16 + int(i % 5), height=16 + int(i % 3),
+                          fps=5, timescale=1000, frames_per_chunk=2)
+            )
+        return pa.table(
+            {
+                "item_id": pa.array([f"vid-{i}" for i in ids], type=pa.string()),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "mime": pa.array(["video/mp4"] * len(ids), type=pa.string()),
+                "duration_ms": pa.array(np.full(len(ids), n_src * 200, dtype=np.int32)),
+                "width": pa.array((16 + ids % 5).astype(np.int32)),
+                "height": pa.array((16 + ids % 3).astype(np.int32)),
+            }
+        )
+
+    docs = _docs(sf_dir, columns=["doc_id"]).limit(50)
+    sampled = sample_frames(docs.map_batches(to_videos, batch_format="pyarrow"),
+                            n_frames=k, fake=False)
+
+    def verify(t: pa.Table) -> pa.Table:
+        ids = [int(s.split("-")[1]) for s in t["item_id"].to_pylist()]
+        fidx = t["frame_idx"].to_pylist()
+        pix = t["pixels"].to_pylist()
+        match = []
+        sums = []
+        for doc_id, j, p in zip(ids, fidx, pix):
+            src = (n_src * (2 * j + 1)) // (2 * k)  # the sampled source index
+            direct = decode_jpeg(synth_jpeg(frame_img(doc_id, src), quality=92)).reshape(-1)
+            got = np.asarray(p, dtype=np.uint8)
+            match.append(int(len(got) == len(direct) and np.array_equal(got, direct)))
+            sums.append(int(got.sum()))
+        return pa.table(
+            {
+                "item_id": t["item_id"],
+                "frame_idx": t["frame_idx"],
+                "ts_ms": t["ts_ms"],
+                "pix_sum": pa.array(sums, type=pa.int64()),
+                "match_direct": pa.array(match, type=pa.int64()),
+            }
+        )
+
+    return sampled.map_batches(verify, batch_format="pyarrow")
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd k-means over the embeddings table (k=8, 5
     iterations, deterministic Knuth-hash init). no_oracle: an iterative
@@ -1562,6 +1636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "audio_features": _q_audio_features,
         "approx_distinct": _q_approx_distinct,
+        "video_frames": _q_video_frames,
     }
 
 

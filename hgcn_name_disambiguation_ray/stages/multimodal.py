@@ -9,8 +9,10 @@ inflate + vectorized per-row unfilter, 8-bit gray/RGB/palette/alpha,
 `decode_png` below), baseline JPEG (pure-numpy Huffman + IDCT,
 `functions/jpeg.py` — gray/4:4:4/4:2:2/4:2:0, restart intervals), and
 RIFF/WAV PCM audio (stdlib `wave`); `AudioFeatures` computes genuine DSP
-(RMS, zero-crossing rate, FFT spectral centroid). Only codecs with no
-stdlib path (progressive JPEG / MP4 — the container ships no
+(RMS, zero-crossing rate, FFT spectral centroid); and MJPEG-in-MP4 video
+(`functions/mp4.py` parses the ISO BMFF sample tables, frames decode via
+the JPEG codec). Only codecs with no stdlib path (progressive JPEG,
+inter-frame video codecs like H.264 — the container ships no
 imaging/video libraries) are stubbed: `DecodeImage` /
 `SampleFrames` raise NotImplementedError for them unless `fake=True`, in
 which case a clearly-marked deterministic fake derives pseudo pixels
@@ -244,27 +246,68 @@ class SampleFrames:
     output row PER FRAME (item_id, frame_idx, ts_ms, width, height,
     pixels) — the fan-out sampling step of a video-training pipeline.
 
-    Like DecodeImage, the codec call is STUBBED (no video libraries in
-    this container): `fake=True` derives each frame deterministically
-    from (payload hash, frame index), so frame identity and ordering are
-    testable; swap `_decode_frame` for a real demuxer in production. The
-    1-to-n row fan-out, per-frame timestamps, and FixedSizeList pixel
-    layout are the real plumbing under either decoder."""
+    MJPEG-in-MP4 is sampled and decoded for REAL: `functions/mp4.py`
+    parses the ISO BMFF sample tables (stsd/stts/stsc/stsz/stco, pure
+    stdlib struct + numpy), n evenly-spaced samples are sliced straight
+    out of the mdat by their table offsets, and each sampled frame is
+    decoded with the in-repo baseline JPEG codec. Timestamps come from
+    the real stts table. Inter-frame codecs (avc1/hev1/vp09...) have no
+    stdlib decode path: with `fake=True` such payloads — and non-MP4
+    payloads — get a deterministic per-(payload, timestamp) stub frame
+    so pipeline shape stays testable; with `fake=False` they raise."""
 
     def __init__(self, n_frames: int = 4, fake: bool = False, channels: int = 3):
         self.n_frames = n_frames
         self.fake = fake
         self.channels = channels
 
-    def _decode_frame(self, payload: bytes, ts_ms: int, width: int, height: int) -> np.ndarray:
-        if not self.fake:
-            raise NotImplementedError(
-                "video codecs not available in this environment; "
-                "construct SampleFrames(fake=True) for the deterministic stub"
-            )
+    def _stub_frame(self, payload: bytes, ts_ms: int, width: int, height: int) -> np.ndarray:
         seed = stable_hash64(f"{payload.hex() if payload else ''}:{ts_ms}")
         rng = np.random.default_rng(seed)
         return rng.integers(0, 256, size=(height, width, self.channels), dtype=np.uint8)
+
+    def _sample_real(self, payload: bytes) -> tuple[np.ndarray, list[np.ndarray]] | None:
+        """MP4 payload -> (ts_ms[k], decoded frames) via the real demuxer;
+        None if this payload should fall through to the stub path."""
+        from hgcn_name_disambiguation_ray.functions.jpeg import decode_jpeg
+        from hgcn_name_disambiguation_ray.functions.mp4 import (
+            demux_mp4,
+            is_mp4,
+            mp4_sample_bytes,
+        )
+
+        if not is_mp4(payload):
+            if self.fake:
+                return None
+            raise NotImplementedError(
+                "not an ISO BMFF payload; only MJPEG-in-MP4 decodes for "
+                "real — construct SampleFrames(fake=True) for the stub"
+            )
+        try:
+            track = demux_mp4(payload)
+        except ValueError:
+            # a crawl payload can carry the ftyp magic by chance: the
+            # fake contract must hold for ANY payload
+            if self.fake:
+                return None
+            raise
+        if track["codec"] not in ("jpeg", "mjpa", "mjpb"):
+            if self.fake:
+                return None
+            raise NotImplementedError(
+                f"codec {track['codec']!r} needs a video library this "
+                "container does not ship (only MJPEG decodes for real); "
+                "construct SampleFrames(fake=True) for the stub"
+            )
+        n_s = len(track["sizes"])
+        if n_s == 0:
+            raise ValueError("video track has no samples")
+        k = self.n_frames
+        j = np.arange(k, dtype=np.int64)
+        idx = np.minimum((n_s * (2 * j + 1)) // (2 * k), n_s - 1)
+        ts_ms = track["ts"][idx] * 1000 // track["timescale"]
+        frames = [decode_jpeg(mp4_sample_bytes(payload, track, int(i))) for i in idx]
+        return ts_ms, frames
 
     def __call__(self, t: pa.Table) -> pa.Table:
         k = self.n_frames
@@ -273,22 +316,37 @@ class SampleFrames:
         dur = np.asarray(t["duration_ms"].to_pylist(), dtype=np.int64)
         ws = t["width"].to_pylist()
         hs = t["height"].to_pylist()
-        # evenly spaced sample times: ts_j = floor(dur * (j + 0.5) / k),
-        # in exact integer arithmetic
+        # stub sample times: ts_j = floor(dur * (j + 0.5) / k) in exact
+        # integer arithmetic (the real path reads stts instead)
         j = np.arange(k, dtype=np.int64)
-        ts = (dur[:, None] * (2 * j + 1)[None, :]) // (2 * k)  # (n, k)
-        frames = [
-            self._decode_frame(payloads[i] or b"", int(ts[i, jj]), int(ws[i]), int(hs[i])).reshape(-1)
-            for i in range(n)
-            for jj in range(k)
-        ]
+        stub_ts = (dur[:, None] * (2 * j + 1)[None, :]) // (2 * k)  # (n, k)
+        frames: list[np.ndarray] = []
+        ts_rows = []
+        wh_rows = []
+        for i in range(n):
+            p = payloads[i] or b""
+            real = self._sample_real(p)
+            if real is not None:
+                ts_i, frames_i = real
+                ts_rows.append(ts_i)
+                # dims come from the decoded frames, not declared metadata
+                wh_rows.append((frames_i[0].shape[1], frames_i[0].shape[0]))
+                frames.extend(f.reshape(-1) for f in frames_i)
+            else:
+                ts_rows.append(stub_ts[i])
+                wh_rows.append((int(ws[i]), int(hs[i])))
+                frames.extend(
+                    self._stub_frame(p, int(stub_ts[i, jj]), int(ws[i]), int(hs[i])).reshape(-1)
+                    for jj in range(k)
+                )
+        ts = np.stack(ts_rows) if n else stub_ts
         return pa.table(
             {
                 "item_id": pa.array(np.repeat(np.asarray(t["item_id"].to_pylist(), dtype=object), k)),
                 "frame_idx": pa.array(np.tile(j, n)),
                 "ts_ms": pa.array(ts.reshape(-1)),
-                "width": pa.array(np.repeat(ws, k), type=pa.int32()),
-                "height": pa.array(np.repeat(hs, k), type=pa.int32()),
+                "width": pa.array(np.repeat([w for w, _ in wh_rows], k) if n else [], type=pa.int32()),
+                "height": pa.array(np.repeat([h for _, h in wh_rows], k) if n else [], type=pa.int32()),
                 "pixels": _u8_list(frames),
             }
         )
