@@ -485,6 +485,18 @@ def _q_language_id(sf_dir: str):
     return language_id(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
+def _q_gopher_rules(sf_dir: str):
+    from hgcn_name_disambiguation_ray.pipelines.textprep import gopher_quality
+
+    return gopher_quality(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
+def _q_segment_dedup(sf_dir: str):
+    from hgcn_name_disambiguation_ray.stages.dedup import segment_dedup
+
+    return segment_dedup(_docs(sf_dir, columns=["doc_id", "text"]), seg_tokens=16)
+
+
 def _q_quality(sf_dir: str):
     from hgcn_name_disambiguation_ray.pipelines.textprep import quality_score
 
@@ -1568,10 +1580,10 @@ def _q_linkage_arnetminer_artifact(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract: the driver verifies the FIRST 50 dict entries against
-    # oracle_sql().  All 48 oracle-bearing queries therefore come first, then
-    # the two highest-signal no_oracle queries (the Arnetminer artifact regime
-    # and the IVF index, both of which carry hard in-row signals), then the
-    # remaining no_oracle queries past position 50.
+    # oracle_sql().  All 50 oracle-bearing queries therefore come first (the
+    # window is exactly full); no_oracle queries follow, led by the two
+    # highest-signal ones (the Arnetminer artifact regime and the IVF index,
+    # both of which carry hard in-row signals pinned by tests).
     return {
         "source_filter": _q_source_filter,
         "normalize_tokens": _q_normalize_tokens,
@@ -1593,6 +1605,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "language_id": _q_language_id,
         "quality": _q_quality,
+        "gopher_rules": _q_gopher_rules,
+        "segment_dedup": _q_segment_dedup,
         "cust_nation_join": _q_cust_nation_join,
         "top_customers": _q_top_customers,
         "lineitem_agg": _q_lineitem_agg,
@@ -1621,10 +1635,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_orders": _q_segment_orders,
         "asof_latest_event": _q_asof_latest_event,
         "range_week_events": _q_range_week_events,
-        # --- positions 49-50: highest-signal no_oracle queries ---
+        # --- past the driver's 50-query window: no_oracle queries, the two
+        # highest-signal ones (hard in-row signals, pinned by tests) first ---
         "linkage_arnetminer_artifact": _q_linkage_arnetminer_artifact,
         "ivf_topk": _q_ivf_topk,
-        # --- past the driver's 50-query window: remaining no_oracle ---
         "stemmed_tokens": _q_stemmed_tokens,
         "fingerprint_docs": _q_fingerprint,
         "multimodal_features": _q_multimodal_features,
@@ -2037,5 +2051,48 @@ def oracle_sql() -> dict[str, str]:
             "x -> length(x) > 0), x -> length(x))) AS DOUBLE) / "
             "length(list_filter(string_split(text, ' '), x -> length(x) > 0)) END, 6) "
             "AS mean_word_len_r FROM documents"
+        ),
+        "gopher_rules": (
+            "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            "coalesce(text, ''), '\\s+'), x -> x <> '') AS t FROM documents), "
+            "words AS (SELECT doc_id, unnest(t) AS x FROM toks), "
+            "agg AS (SELECT doc_id, count(*) AS n_words, "
+            "sum(length(x)) AS sum_lens, "
+            "sum(CASE WHEN regexp_matches(x, '[A-Za-z]') THEN 1 ELSE 0 END) AS n_alpha, "
+            "count(DISTINCT CASE WHEN x IN ('the','be','to','of','and','that',"
+            "'have','with') THEN x END) AS n_stop_kinds "
+            "FROM words GROUP BY doc_id) "
+            "SELECT k.doc_id, coalesce(a.n_words, 0) AS n_words, "
+            "CAST(CASE WHEN a.n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END "
+            "AS BIGINT) AS flag_word_count, "
+            "CAST(CASE WHEN a.n_words > 0 AND 3 * a.n_words <= a.sum_lens "
+            "AND a.sum_lens <= 10 * a.n_words THEN 1 ELSE 0 END AS BIGINT) "
+            "AS flag_word_len, "
+            "CAST(CASE WHEN a.n_words > 0 AND 5 * a.n_alpha >= 4 * a.n_words "
+            "THEN 1 ELSE 0 END AS BIGINT) AS flag_alpha, "
+            "CAST(CASE WHEN a.n_stop_kinds >= 2 THEN 1 ELSE 0 END AS BIGINT) "
+            "AS flag_stop, "
+            "CAST((CASE WHEN a.n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END) * "
+            "(CASE WHEN a.n_words > 0 AND 3 * a.n_words <= a.sum_lens "
+            "AND a.sum_lens <= 10 * a.n_words THEN 1 ELSE 0 END) * "
+            "(CASE WHEN a.n_words > 0 AND 5 * a.n_alpha >= 4 * a.n_words "
+            "THEN 1 ELSE 0 END) * "
+            "(CASE WHEN a.n_stop_kinds >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS gopher_pass "
+            "FROM toks k LEFT JOIN agg a ON k.doc_id = a.doc_id"
+        ),
+        "segment_dedup": (
+            "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            "coalesce(text, ''), '\\s+'), x -> x <> '') AS t FROM documents), "
+            "segs AS (SELECT doc_id, g.i AS seg_idx, (len(t) + 15) // 16 AS n_segs, "
+            "array_to_string(t[g.i * 16 + 1 : (g.i + 1) * 16], ' ') AS seg "
+            "FROM toks, LATERAL (SELECT unnest(range((len(t) + 15) // 16)) AS i) g), "
+            "firsts AS (SELECT seg, min(doc_id * 1048576 + seg_idx) AS keep_code "
+            "FROM segs GROUP BY seg) "
+            "SELECT s.doc_id, string_agg(s.seg, ' ' ORDER BY s.seg_idx) AS clean_text, "
+            "any_value(s.n_segs) AS n_segs, CAST(count(*) AS BIGINT) AS n_kept "
+            "FROM segs s JOIN firsts f ON s.seg = f.seg "
+            "WHERE s.doc_id * 1048576 + s.seg_idx = f.keep_code "
+            "GROUP BY s.doc_id"
         ),
     }

@@ -801,3 +801,73 @@ def token_freq_score(
         )
 
     return sums.map_batches(score, batch_format="pyarrow")
+
+
+# Gopher quality-rule stopword list (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", appendix A1.1 — the 8-word "stop word" presence rule)
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> Dataset:
+    """Gopher-style document quality rules as integer-exact flags:
+    (id, n_words, flag_word_count, flag_word_len, flag_alpha, flag_stop,
+    gopher_pass).
+
+      * flag_word_count — 50 <= n_words <= 100,000
+      * flag_word_len   — mean word length in [3, 10], tested as the
+                          integer cross-multiplication
+                          3*n_words <= sum_word_lens <= 10*n_words
+      * flag_alpha      — >= 80% of words contain an alphabetic char
+                          (5*n_alpha_words >= 4*n_words)
+      * flag_stop       — >= 2 DISTINCT words from the 8-word Gopher
+                          stop list appear in the doc
+      * gopher_pass     — all of the above
+
+    Every flag is an integer comparison over integer counts (no float
+    ratios), so the DuckDB oracle reproduces it bit-exactly. Fully
+    vectorized: one whitespace split per batch, segmented sums over the
+    flat token array, one Arrow regex pass for the alpha test."""
+
+    def body(t: pa.Table) -> pa.Table:
+        col = _fill(t[text_col])
+        flat, offsets = split_ws_flat(col)
+        lens = _token_lens(flat)
+        n_words = _seg_sum(np.ones(len(flat), dtype=np.int64), offsets)
+        sum_lens = _seg_sum(lens, offsets)
+        if len(flat):
+            flat_arr = pa.array(flat, type=pa.large_string())
+            is_alpha = (
+                pc.match_substring_regex(flat_arr, "[A-Za-z]")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        else:
+            is_alpha = np.zeros(0, dtype=np.int64)
+        n_alpha = _seg_sum(is_alpha, offsets)
+        n_stop_kinds = np.zeros(len(n_words), dtype=np.int64)
+        for w in _GOPHER_STOPS:
+            hit = (flat == w).astype(np.int64) if len(flat) else np.zeros(0, np.int64)
+            n_stop_kinds += (_seg_sum(hit, offsets) > 0).astype(np.int64)
+
+        flag_word_count = ((n_words >= 50) & (n_words <= 100_000)).astype(np.int64)
+        flag_word_len = (
+            (n_words > 0) & (3 * n_words <= sum_lens) & (sum_lens <= 10 * n_words)
+        ).astype(np.int64)
+        flag_alpha = ((n_words > 0) & (5 * n_alpha >= 4 * n_words)).astype(np.int64)
+        flag_stop = (n_stop_kinds >= 2).astype(np.int64)
+        gopher_pass = flag_word_count * flag_word_len * flag_alpha * flag_stop
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_words": pa.array(n_words),
+                "flag_word_count": pa.array(flag_word_count),
+                "flag_word_len": pa.array(flag_word_len),
+                "flag_alpha": pa.array(flag_alpha),
+                "flag_stop": pa.array(flag_stop),
+                "gopher_pass": pa.array(gopher_pass),
+            }
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow")

@@ -718,3 +718,148 @@ def embedding_cosine_dedup(
     verified = _verify_pairs_by_join(cand, feats, "vec", verify)
     return _finalize_components(verified)
 
+
+
+# --------------------------------------------------------------------------
+# C4-style duplicate-span removal (segment-level exact dedup)
+# --------------------------------------------------------------------------
+
+# (doc_id, seg_idx) packs into one int64 order code so "first occurrence"
+# is a single integer MIN: code = doc_id * 2^20 + seg_idx. The guards keep
+# the packing collision-free and the code positive.
+_SEG_SHIFT = 1 << 20          # max 2^20 segments per doc (~16M tokens)
+_SEG_MAX_DOC = 1 << 43        # doc_id must fit the remaining high bits
+
+
+def _segment_rows(
+    t: pa.Table, text_col: str, id_col: str, seg_tokens: int, with_text: bool
+) -> pa.Table:
+    """One row per `seg_tokens`-token whitespace segment of each doc:
+    (id, seg_idx, h_hi, h_lo[, seg, n_segs]). Fully vectorized — the
+    split is an Arrow kernel, segment strings come from one
+    `binary_join` over a segment-offset ListArray (no Python joins),
+    and the 128-bit hash is the same collision-safe `content_hash128`
+    exact_dedup uses."""
+    from hgcn_name_disambiguation_ray.functions.text import split_ws_flat
+
+    flat, offsets = split_ws_flat(t[text_col])
+    counts = offsets[1:] - offsets[:-1]
+    n_segs = -(-counts // seg_tokens)  # ceil; 0 for empty docs
+    if n_segs.size and int(n_segs.max()) >= _SEG_SHIFT:
+        raise ValueError(
+            f"segment_dedup: a document has >= {_SEG_SHIFT} segments; "
+            "raise seg_tokens or widen the order-code packing"
+        )
+    ids_col = t[id_col]
+    if isinstance(ids_col, pa.ChunkedArray):
+        ids_col = ids_col.combine_chunks()
+    ids = ids_col.to_numpy(zero_copy_only=False).astype(np.int64)
+    if ids.size and (int(ids.min()) < 0 or int(ids.max()) >= _SEG_MAX_DOC):
+        raise ValueError(
+            f"segment_dedup: {id_col} must be in [0, 2^43) to pack the "
+            "first-occurrence order code"
+        )
+    # global flat positions where a segment starts (within-doc idx % K == 0)
+    within = np.arange(len(flat), dtype=np.int64) - np.repeat(offsets[:-1], counts)
+    starts = np.flatnonzero(within % seg_tokens == 0).astype(np.int64)
+    seg_offsets = np.append(starts, len(flat))
+    flat_arr = pa.array(flat, type=pa.large_string())
+    lists = pa.LargeListArray.from_arrays(pa.array(seg_offsets, pa.int64()), flat_arr)
+    segs = pa.compute.binary_join(lists, pa.scalar(" ", pa.large_string()))
+    hi, lo = content_hash128(np.asarray(segs.to_pandas(), dtype=object))
+    cols = {
+        id_col: pa.array(np.repeat(ids, n_segs), type=pa.int64()),
+        "seg_idx": pa.array(_grouped_arange(n_segs), type=pa.int64()),
+        "h_hi": pa.array(hi, type=pa.uint64()),
+        "h_lo": pa.array(lo, type=pa.uint64()),
+    }
+    if with_text:
+        cols["seg"] = segs.cast(pa.string())
+        cols["n_segs"] = pa.array(np.repeat(n_segs, n_segs), type=pa.int64())
+    return pa.table(cols)
+
+
+def segment_dedup(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 16,
+) -> Dataset:
+    """C4-style duplicate-span removal: split each doc into consecutive
+    `seg_tokens`-token segments, drop every segment whose exact text
+    already occurred earlier in the corpus (first occurrence by
+    (doc_id, seg_idx) survives), and reassemble the surviving segments
+    into a cleaned document. Output: (id, clean_text, n_segs, n_kept);
+    docs whose every segment was seen earlier produce no row.
+
+    This is the span-level counterpart of `exact_dedup` (the C4/Gopher
+    "three-sentence span" rule re-expressed over token segments — the
+    corpus here is single-line text, so segments stand in for
+    sentences). Reference has no span dedup; this extends D1
+    (SURVEY.md §2, openAlex_to_HGCN.py:233-241) below doc granularity.
+
+    Scale shape: two streaming passes over the corpus. Pass 1 ships
+    only NARROW (hash, order-code) rows into a partial-combined
+    bucketed groupby for the first-occurrence table. Pass 2 re-derives
+    segments WITH text, joins the first-occurrence table back on the
+    128-bit hash (distributed hash join — the firsts table is
+    O(distinct segments), never broadcastable), filters to survivors,
+    and reassembles per doc in a bucketed groupby. No driver-side
+    materialization anywhere."""
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return _segment_rows(t, text_col, id_col, seg_tokens, with_text=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        code = pa.compute.add(
+            pa.compute.multiply(t[id_col], pa.scalar(_SEG_SHIFT, pa.int64())),
+            t["seg_idx"],
+        )
+        g = (
+            t.drop_columns([id_col, "seg_idx"])
+            .append_column("code", code)
+            .group_by(["h_hi", "h_lo"])
+            .aggregate([("code", "min")])
+        )
+        ren = {"code_min": "keep_code"}
+        return g.rename_columns([ren.get(c, c) for c in g.column_names])
+
+    firsts = bucketed_group_apply(
+        ds.map_batches(narrow, batch_format="pyarrow").map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["h_hi", "h_lo"],
+        lambda df: df.groupby(["h_hi", "h_lo"], as_index=False, sort=False).agg(
+            keep_code=("keep_code", "min")
+        ),
+        n_buckets=64,
+    )
+
+    def wide(t: pa.Table) -> pa.Table:
+        return _segment_rows(t, text_col, id_col, seg_tokens, with_text=True)
+
+    joined = hash_join(
+        ds.map_batches(wide, batch_format="pyarrow"), firsts, on=["h_hi", "h_lo"]
+    )
+
+    def keep_first(t: pa.Table) -> pa.Table:
+        code = pa.compute.add(
+            pa.compute.multiply(t[id_col], pa.scalar(_SEG_SHIFT, pa.int64())),
+            t["seg_idx"],
+        )
+        mask = pa.compute.equal(code, t["keep_code"])
+        return t.select([id_col, "seg_idx", "seg", "n_segs"]).filter(mask)
+
+    kept = joined.map_batches(keep_first, batch_format="pyarrow")
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "seg_idx"], kind="mergesort")
+        out = df.groupby(id_col, as_index=False, sort=False).agg(
+            clean_text=("seg", " ".join),
+            n_segs=("n_segs", "first"),
+            n_kept=("seg", "size"),
+        )
+        out["n_kept"] = out["n_kept"].astype(np.int64)
+        return out
+
+    return bucketed_group_apply(kept, [id_col], rebuild, n_buckets=64)

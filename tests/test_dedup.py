@@ -315,3 +315,67 @@ def test_pairs_in_bucket_groups_segmented_equivalence():
         .drop_duplicates(["u", "v"]).sort_values(["u", "v"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
+
+
+def test_segment_dedup_keeps_first_occurrence_and_reassembles(ray_session):
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.dedup import segment_dedup
+
+    # seg_tokens=2: doc 0 = [ab][cd][e], doc 1 repeats [ab] then fresh,
+    # doc 2 is ENTIRELY segments already seen (drops), doc 3 repeats a
+    # WITHIN-doc segment of its own, doc 4 empty text.
+    rows = [
+        {"doc_id": 0, "text": "a b c d e"},
+        {"doc_id": 1, "text": "a b x y"},
+        {"doc_id": 2, "text": "a b c d"},
+        {"doc_id": 3, "text": "p q p q"},
+        {"doc_id": 4, "text": ""},
+    ]
+    out = (
+        segment_dedup(rd.from_pandas(pd.DataFrame(rows)), seg_tokens=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [0, 1, 3]  # docs 2 (all dup) and 4 (empty) drop
+    assert out.loc[0, "clean_text"] == "a b c d e"
+    assert (out.loc[0, "n_segs"], out.loc[0, "n_kept"]) == (3, 3)
+    assert out.loc[1, "clean_text"] == "x y"  # 'a b' seen in doc 0
+    assert (out.loc[1, "n_segs"], out.loc[1, "n_kept"]) == (2, 1)
+    assert out.loc[3, "clean_text"] == "p q"  # within-doc repeat drops
+    assert (out.loc[3, "n_segs"], out.loc[3, "n_kept"]) == (2, 1)
+
+
+def test_segment_dedup_tail_segments_not_merged_with_full(ray_session):
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.dedup import segment_dedup
+
+    # doc 0's TAIL segment [c] must not collide with doc 1's full text 'c'
+    # prefixed differently; exact text equality only.
+    rows = [
+        {"doc_id": 0, "text": "a b c"},
+        {"doc_id": 1, "text": "c"},
+        {"doc_id": 2, "text": "a b"},
+    ]
+    out = (
+        segment_dedup(rd.from_pandas(pd.DataFrame(rows)), seg_tokens=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 0 keeps both segments; doc 1's 'c' == doc 0's tail seg -> drops;
+    # doc 2's 'a b' == doc 0's first seg -> drops
+    assert list(out.index) == [0]
+    assert out.loc[0, "clean_text"] == "a b c"
+
+
+def test_segment_dedup_id_range_guard(ray_session):
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.dedup import segment_dedup
+
+    rows = [{"doc_id": 1 << 50, "text": "a b"}]
+    with pytest.raises(Exception):  # ValueError surfaces as Ray task error
+        segment_dedup(rd.from_pandas(pd.DataFrame(rows)), seg_tokens=2).materialize()

@@ -334,3 +334,41 @@ def test_token_freq_score_ranks_common_above_rare():
         > out.loc[1, "freq_score_milli"]
         > out.loc[2, "freq_score_milli"]
     )
+
+
+def test_gopher_quality_flags(ray_session):
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.pipelines.textprep import gopher_quality
+
+    long_good = " ".join(["the", "and"] + ["word"] * 60)       # all flags pass
+    short = "the and word"                                      # word count fails
+    no_stops = " ".join(["word"] * 60)                          # stop flag fails
+    longwords = " ".join(["the", "and"] + ["x" * 20] * 60)      # word len fails
+    numeric = " ".join(["the", "and"] + ["12345"] * 60)         # alpha fails
+    rows = [
+        {"doc_id": 0, "text": long_good},
+        {"doc_id": 1, "text": short},
+        {"doc_id": 2, "text": no_stops},
+        {"doc_id": 3, "text": longwords},
+        {"doc_id": 4, "text": numeric},
+        {"doc_id": 5, "text": ""},
+    ]
+    out = (
+        gopher_quality(rd.from_pandas(pd.DataFrame(rows)))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "gopher_pass"] == 1
+    assert (
+        out.loc[0, ["flag_word_count", "flag_word_len", "flag_alpha", "flag_stop"]]
+        == 1
+    ).all()
+    assert out.loc[1, "flag_word_count"] == 0 and out.loc[1, "gopher_pass"] == 0
+    assert out.loc[2, "flag_stop"] == 0 and out.loc[2, "flag_word_count"] == 1
+    assert out.loc[3, "flag_word_len"] == 0
+    assert out.loc[4, "flag_alpha"] == 0  # digit words: mean len 5 still passes word_len
+    # empty doc: every flag 0, still emits a row
+    assert (out.loc[5] == 0).all()
+    assert set(out.dtypes.astype(str)) == {"int64"}
