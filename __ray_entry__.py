@@ -57,22 +57,27 @@ def _fixture_pages_dir() -> str:
             tmp,
         )
         open(os.path.join(tmp, "_done"), "w").close()
-        # re-check the done marker immediately before swapping: a slow
-        # builder must not delete a concurrent winner's completed fixture
-        # (readers in that window would see missing files)
-        if os.path.exists(done):
-            shutil.rmtree(tmp, ignore_errors=True)
-        else:
-            stale = f"{out}.stale-{os.getpid()}"
-            try:
-                os.rename(out, stale)  # move aside instead of deleting in place
-            except OSError:
-                pass
-            try:
-                os.rename(tmp, out)
-            except OSError:
-                shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
-            shutil.rmtree(stale, ignore_errors=True)
+        # attempt the atomic publish FIRST: rename fails if `out` exists,
+        # so a COMPLETE fixture (done marker present) is never moved or
+        # deleted — readers that passed the done check can never see the
+        # directory vanish mid-read. Only a torn dir (no marker — which no
+        # reader accepts) gets moved aside.
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            if os.path.exists(done):  # concurrent winner completed
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                stale = f"{out}.stale-{os.getpid()}"
+                try:
+                    os.rename(out, stale)
+                except OSError:
+                    pass
+                try:
+                    os.rename(tmp, out)
+                except OSError:
+                    shutil.rmtree(tmp, ignore_errors=True)  # lost a second race
+                shutil.rmtree(stale, ignore_errors=True)
     return out
 
 
@@ -1476,13 +1481,30 @@ def _q_kmeans_clusters(sf_dir: str):
                 Cr[j] = X[m].mean(axis=0)
     exp = np.argmin(-2.0 * (X @ Cr.T) + (Cr * Cr).sum(axis=1)[None, :], axis=1)
     order = np.argsort(ids)
-    ref = ray.put((ids[order], exp[order].astype(np.int64)))
+    # full squared distances (not the argmin-only expression) so ties can
+    # be recognized below; expansion form keeps this n x k, never n x k x d
+    d2 = (
+        (X * X).sum(axis=1)[:, None]
+        - 2.0 * (X @ Cr.T)
+        + (Cr * Cr).sum(axis=1)[None, :]
+    )
+    ref = ray.put((ids[order], exp[order].astype(np.int64), d2[order]))
 
     def attach(t: pa.Table) -> pa.Table:
-        ids_s, exp_s = ray.get(ref)
+        ids_s, exp_s, d2_s = ray.get(ref)
         vid = np.asarray(t["vec_id"].to_pandas(), dtype=np.int64)
         got = np.asarray(t["cluster"].to_pandas(), dtype=np.int64)
-        match = (got == exp_s[np.searchsorted(ids_s, vid)]).astype(np.int64)
+        pos = np.searchsorted(ids_s, vid)
+        eq = got == exp_s[pos]
+        # the distributed fit reduces per-block partial sums in a different
+        # float64 order than the reference's np.mean — a row sitting exactly
+        # between two centroids can flip argmin on the last ulp without
+        # either run being wrong. Count it as a match when the reference's
+        # own distances to the two chosen centroids are a numerical tie.
+        d_got = d2_s[np.arange(len(pos)), got] if len(pos) else np.zeros(0)
+        d_exp = d2_s[np.arange(len(pos)), exp_s[pos]] if len(pos) else np.zeros(0)
+        tie = np.abs(d_got - d_exp) <= 1e-9 * np.maximum(1.0, np.abs(d_exp))
+        match = (eq | tie).astype(np.int64)
         return t.append_column("match_ref", pa.array(match))
 
     return assigned.map_batches(attach, batch_format="pyarrow")

@@ -61,21 +61,27 @@ def _fixture(spec: dict, out_dir: str) -> str:
         shutil.rmtree(tmp, ignore_errors=True)
         write_fixture(FixtureSpec(**spec), tmp)
         open(os.path.join(tmp, f"_done.{fp}"), "w").close()
-        # re-check right before the swap: a concurrent winner may have
-        # completed while we were building — keep theirs, drop ours
-        if os.path.exists(marker) and os.path.exists(done):
-            shutil.rmtree(tmp, ignore_errors=True)
-        else:
-            stale = f"{out_dir}.stale-{os.getpid()}"
-            try:
-                os.rename(out_dir, stale)  # move aside, never delete in place
-            except OSError:
-                pass
-            try:
-                os.rename(tmp, out_dir)
-            except OSError:
+        # attempt the atomic publish FIRST: rename fails if out_dir exists,
+        # so a fixture that is COMPLETE for this fingerprint is never moved
+        # or deleted under a concurrent reader. Only a torn/stale-spec dir
+        # (no current done marker — which no same-version reader accepts)
+        # gets moved aside.
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            if os.path.exists(marker) and os.path.exists(done):
                 shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
-            shutil.rmtree(stale, ignore_errors=True)
+            else:
+                stale = f"{out_dir}.stale-{os.getpid()}"
+                try:
+                    os.rename(out_dir, stale)
+                except OSError:
+                    pass
+                try:
+                    os.rename(tmp, out_dir)
+                except OSError:
+                    shutil.rmtree(tmp, ignore_errors=True)  # lost a second race
+                shutil.rmtree(stale, ignore_errors=True)
     return marker
 
 

@@ -487,7 +487,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     Grayscale expands to RGB; 4:2:0 / 4:2:2 chroma upsamples by sample
     replication (nearest), matching the spec's minimum decoder. Raises
     ValueError on progressive (SOF2), arithmetic-coded, 12-bit, or
-    corrupt input."""
+    corrupt input — ALWAYS ValueError: malformed headers that would
+    surface as struct.error / IndexError are converted so callers'
+    on_error=\"skip\" / fake-mode fallthroughs (which catch ValueError)
+    hold for arbitrary corrupt payloads."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except (struct.error, IndexError, ZeroDivisionError) as e:
+        raise ValueError(f"corrupt JPEG ({type(e).__name__}: {e})") from e
+
+
+def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     if not payload.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG (missing SOI)")
     qtabs: dict[int, np.ndarray] = {}
@@ -500,9 +510,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG (expected marker)")
+        # any number of 0xFF fill bytes may precede a marker code
+        # (T.81 B.1.1.2) — encoders that pad with them are spec-valid
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > n:
+            raise ValueError("truncated JPEG segment")
         (length,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + length]
         if len(body) < length - 2:
@@ -653,7 +669,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         planes.append(plane[:fh, :fw])
 
     if len(planes) == 1:
-        ych = np.clip(planes[0], 0, 255)
+        # round like the 3-component path below — a bare uint8 cast would
+        # truncate and bias gray decodes down by up to 1 LSB vs color
+        ych = np.clip(planes[0], 0, 255).round()
         return np.repeat(ych[..., None], 3, axis=2).astype(np.uint8)
     if len(planes) != 3:
         raise ValueError(f"unsupported JPEG ({len(planes)} components)")

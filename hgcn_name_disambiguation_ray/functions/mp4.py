@@ -244,9 +244,15 @@ def synth_mp4(
     n = len(frames)
     if n == 0:
         raise ValueError("need at least one frame")
+    if fps <= 0 or timescale < fps:
+        # timescale // fps == 0 would stamp every sample at tick 0 and
+        # write duration 0 — reject instead of emitting a degenerate file
+        raise ValueError("timescale must be >= fps (sample delta >= 1 tick)")
     delta = timescale // fps
     duration = n * delta
-    fpc = frames_per_chunk if frames_per_chunk > 0 else n
+    # a chunk may not claim more samples than exist: clamp so the stsc
+    # sample count stays consistent with stsz for strict demuxers
+    fpc = min(frames_per_chunk, n) if frames_per_chunk > 0 else n
 
     ftyp = _box(b"ftyp", b"isom", struct.pack(">I", 0x200), b"isom", b"iso2", b"mp41")
     mdat = _box(b"mdat", *frames)

@@ -433,6 +433,10 @@ def run_linkage_sharded(
 def _score_and_merge(mentions: Dataset, cfg: LinkageConfig, salt_map: dict) -> Dataset:
     """Scorer + cross-salt merge over one (already sharded) mention set —
     the shared tail of run_linkage, factored for the sharded path."""
+    # pin the (shard-bounded) mention set: the sharded caller passes a lazy
+    # filter over the checkpoint scan, and the count() below plus the scorer
+    # pipeline would otherwise each re-execute that scan end to end
+    mentions = mentions.materialize()
     salt_ref = ray.put(salt_map)
     salted = mentions.map_batches(
         AssignSalt, fn_constructor_args=(salt_ref,), batch_format="pyarrow",

@@ -283,30 +283,39 @@ class SampleFrames:
                 "not an ISO BMFF payload; only MJPEG-in-MP4 decodes for "
                 "real — construct SampleFrames(fake=True) for the stub"
             )
+        import struct
+
         try:
             track = demux_mp4(payload)
-        except ValueError:
-            # a crawl payload can carry the ftyp magic by chance: the
-            # fake contract must hold for ANY payload
+            if track["codec"] not in ("jpeg", "mjpa", "mjpb"):
+                if self.fake:
+                    return None
+                raise NotImplementedError(
+                    f"codec {track['codec']!r} needs a video library this "
+                    "container does not ship (only MJPEG decodes for real); "
+                    "construct SampleFrames(fake=True) for the stub"
+                )
+            n_s = len(track["sizes"])
+            if n_s == 0:
+                raise ValueError("video track has no samples")
+            if int(track["timescale"]) <= 0:
+                raise ValueError("video track has a non-positive timescale")
+            k = self.n_frames
+            j = np.arange(k, dtype=np.int64)
+            idx = np.minimum((n_s * (2 * j + 1)) // (2 * k), n_s - 1)
+            ts_ms = track["ts"][idx] * 1000 // track["timescale"]
+            frames = [decode_jpeg(mp4_sample_bytes(payload, track, int(i))) for i in idx]
+        except (ValueError, struct.error, IndexError) as e:
+            # a crawl payload can carry the ftyp magic by chance, or be a
+            # REAL MJPEG container with damaged frames: the fake contract
+            # must hold for ANY payload, and the non-fake path must raise
+            # ValueError (not struct.error/IndexError) so on_error="skip"
+            # catches it
             if self.fake:
                 return None
-            raise
-        if track["codec"] not in ("jpeg", "mjpa", "mjpb"):
-            if self.fake:
-                return None
-            raise NotImplementedError(
-                f"codec {track['codec']!r} needs a video library this "
-                "container does not ship (only MJPEG decodes for real); "
-                "construct SampleFrames(fake=True) for the stub"
-            )
-        n_s = len(track["sizes"])
-        if n_s == 0:
-            raise ValueError("video track has no samples")
-        k = self.n_frames
-        j = np.arange(k, dtype=np.int64)
-        idx = np.minimum((n_s * (2 * j + 1)) // (2 * k), n_s - 1)
-        ts_ms = track["ts"][idx] * 1000 // track["timescale"]
-        frames = [decode_jpeg(mp4_sample_bytes(payload, track, int(i))) for i in idx]
+            if isinstance(e, ValueError):
+                raise
+            raise ValueError(f"corrupt MP4 ({type(e).__name__}: {e})") from e
         return ts_ms, frames
 
     def __call__(self, t: pa.Table) -> pa.Table:

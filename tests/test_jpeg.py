@@ -126,3 +126,44 @@ def test_decode_image_stage_dispatches_jpeg():
     out = DecodeImage(fake=False)._decode(payload, 14, 12)
     assert out.shape == (12, 14, 3)
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_malformed_headers_raise_valueerror_not_struct_error():
+    # short SOF body: passes the segment-length check but the fixed-size
+    # header unpack would raise struct.error without the laundering wrapper
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xc0\x00\x05abc")
+    # SOS declaring more scan components than the body carries (IndexError
+    # without the wrapper)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xda\x00\x04\x04\x01")
+    # truncated right after a fill byte
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xff")
+
+
+def test_fill_bytes_before_markers_decode():
+    # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    img = _gradient(16, 16)
+    good = synth_jpeg(img, quality=90)
+    # insert a fill byte before the first DQT marker
+    dqt = good.find(b"\xff\xdb")
+    padded = good[:dqt] + b"\xff" + good[dqt:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(good))
+
+
+def test_gray_and_color_paths_round_identically():
+    # a grayscale JPEG and a gray RGB JPEG of the same image must agree on
+    # the luma rounding (the gray path used to truncate where color rounds)
+    rng = np.random.default_rng(7)
+    luma = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    rgb = np.repeat(luma[..., None], 3, axis=2)
+    gray_payload = synth_jpeg(rgb, quality=95, gray=True)
+    color_payload = synth_jpeg(rgb, quality=95, gray=False)  # 4:4:4
+    # identical luma plane + identical luma quant table -> identical Y
+    # coefficients; the color file's chroma is constant 128 (DCT all-zero,
+    # decodes back to exactly 128.0), so its RGB equals round(Y). The gray
+    # path must round the same way, not truncate.
+    g = decode_jpeg(gray_payload)
+    c = decode_jpeg(color_payload)
+    assert np.array_equal(g, c)

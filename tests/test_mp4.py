@@ -118,3 +118,70 @@ def test_sample_frames_non_mjpeg_codec_raises(ray_session):
     out = SampleFrames(n_frames=2, fake=True)(t)
     assert out.num_rows == 2
     assert out["width"].to_pylist() == [24, 24]
+
+
+def _vid_table(payload: bytes) -> pa.Table:
+    return pa.table(
+        {
+            "item_id": ["v"],
+            "payload": pa.array([payload], type=pa.binary()),
+            "mime": ["video/mp4"],
+            "duration_ms": pa.array([200], type=pa.int32()),
+            "width": pa.array([24], type=pa.int32()),
+            "height": pa.array([16], type=pa.int32()),
+        }
+    )
+
+
+def test_sample_frames_corrupt_mjpeg_frames_respect_fake_contract(ray_session):
+    """A structurally valid MJPEG container whose frame BYTES are damaged:
+    fake=True must fall through to the stub (never raise), fake=False must
+    raise ValueError (so on_error=\"skip\" catches it), never struct.error."""
+    from hgcn_name_disambiguation_ray.stages.multimodal import SampleFrames
+
+    frames = _frames(2)
+    payload = bytearray(synth_mp4(frames, width=24, height=16))
+    # flip the first frame's SOF0 marker to SOF2 (progressive) inside the
+    # mdat: the container stays structurally valid, the frame decode is a
+    # guaranteed ValueError("unsupported JPEG (progressive)")
+    f0 = bytes(payload).find(frames[0])
+    sof = bytes(payload).find(b"\xff\xc0", f0, f0 + len(frames[0]))
+    assert sof != -1
+    payload[sof + 1] = 0xC2
+    t = _vid_table(bytes(payload))
+    out = SampleFrames(n_frames=2, fake=True)(t)  # stub, no raise
+    assert out.num_rows == 2
+    with pytest.raises(ValueError):
+        SampleFrames(n_frames=2, fake=False)(t)
+
+
+def test_sample_frames_short_stsd_respects_fake_contract(ray_session):
+    """A payload with the ftyp magic but a truncated moov (struct.error
+    territory in the demuxer) must stub under fake=True and raise
+    ValueError under fake=False."""
+    from hgcn_name_disambiguation_ray.stages.multimodal import SampleFrames
+
+    good = synth_mp4(_frames(2), width=24, height=16)
+    trunc = good[: len(good) - 40]  # cut into the sample tables
+    t = _vid_table(trunc)
+    out = SampleFrames(n_frames=2, fake=True)(t)
+    assert out.num_rows == 2
+    with pytest.raises((ValueError, NotImplementedError)):
+        SampleFrames(n_frames=2, fake=False)(t)
+
+
+def test_synth_mp4_rejects_zero_sample_delta():
+    with pytest.raises(ValueError):
+        synth_mp4(_frames(1), width=24, height=16, fps=30, timescale=10)
+
+
+def test_synth_mp4_clamps_overwide_chunk_claim():
+    # frames_per_chunk > n_frames must not write an stsc entry claiming
+    # more samples than exist: a strict demuxer computes offsets past mdat
+    payload = synth_mp4(_frames(3), width=24, height=16, frames_per_chunk=5)
+    track = demux_mp4(payload)
+    assert len(track["sizes"]) == 3
+    # sum of per-chunk sample claims reconstructed by the demuxer == n
+    frames = _frames(3)
+    for i in range(3):
+        assert mp4_sample_bytes(payload, track, i) == frames[i]
