@@ -262,6 +262,91 @@ def run_dedup_scale() -> None:
     }))
 
 
+# span-dedup demo corpus: ~100k docs x 80 tokens (5 segments of 16), 30%
+# of docs carry one segment copied verbatim from a lower-id donor doc
+SEGDEDUP_SPEC = dict(n_base=100_000, span_frac=0.3, tokens_per_doc=80,
+                     seg_tokens=16, vocab=50_000, seed=23)
+SEGDEDUP_CORPUS_DIR = "/tmp/hgcn_ray_segdedup_corpus_v1"
+
+
+def _segdedup_corpus() -> str:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(SEGDEDUP_CORPUS_DIR, "docs.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(SEGDEDUP_CORPUS_DIR, exist_ok=True)
+    s = SEGDEDUP_SPEC
+    rng = np.random.default_rng(s["seed"])
+    k = s["seg_tokens"]
+    n_segs = s["tokens_per_doc"] // k
+    toks = rng.integers(0, s["vocab"], size=(s["n_base"], s["tokens_per_doc"]))
+    n_plant = int(s["n_base"] * s["span_frac"])
+    # receivers are the TOP ids, donors strictly lower ids: first occurrence
+    # (min doc id) is always the donor, so every planted span must drop
+    recv = np.arange(s["n_base"] - n_plant, s["n_base"])
+    donor = rng.integers(0, s["n_base"] - n_plant, size=n_plant)
+    seg = rng.integers(0, n_segs, size=n_plant)
+    for r, d, g in zip(recv, donor, seg):
+        toks[r, g * k:(g + 1) * k] = toks[d, g * k:(g + 1) * k]
+    texts = [" ".join(f"w{t}" for t in row) for row in toks]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(np.arange(s["n_base"]), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())}),
+        path, row_group_size=16384,
+    )
+    return path
+
+
+def run_segdedup_scale() -> None:
+    """segment_dedup (C4-style span removal) end-to-end over the ~100k-doc
+    corpus with 30% planted duplicate spans: docs/s plus a planted-truth
+    check (every planted span drops from its receiver, donors intact)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from hgcn_name_disambiguation_ray.stages.dedup import segment_dedup
+
+    s = SEGDEDUP_SPEC
+    path = _segdedup_corpus()
+    ds = rd.read_parquet(path)
+    n_docs = ds.count()  # warms the cache too
+    t0 = time.time()
+    out = segment_dedup(rd.read_parquet(path), seg_tokens=s["seg_tokens"])
+    out_df = out.to_pandas()
+    dt = time.time() - t0
+    n_plant = int(s["n_base"] * s["span_frac"])
+    dropped = int((out_df["n_segs"] - out_df["n_kept"]).sum())
+    recv_lo = s["n_base"] - n_plant
+    recv_dropped = int(
+        (out_df.loc[out_df["doc_id"] >= recv_lo, "n_segs"]
+         - out_df.loc[out_df["doc_id"] >= recv_lo, "n_kept"]).sum()
+    )
+    donors_intact = bool(
+        (out_df.loc[out_df["doc_id"] < recv_lo, "n_kept"]
+         == out_df.loc[out_df["doc_id"] < recv_lo, "n_segs"]).all()
+    )
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "segment_dedup docs/sec (30% planted duplicate spans)",
+        "docs": n_docs, "sec": round(dt, 3),
+        "docs_per_sec": round(n_docs / dt, 1),
+        "planted_spans": n_plant,
+        "spans_dropped_total": dropped,
+        "spans_dropped_from_receivers": recv_dropped,
+        "donors_intact": donors_intact,
+        "num_cpus": NUM_CPUS,
+    }))
+
+
 def run_scaling_job() -> None:
     """Child-process body: the linkage pipeline alone on the big scaling
     fixture, throughput printed as one JSON line."""
@@ -385,6 +470,8 @@ if __name__ == "__main__":
         run_scaling_job()
     elif "--dedup-scale" in sys.argv:
         run_dedup_scale()
+    elif "--segdedup-scale" in sys.argv:
+        run_segdedup_scale()
     elif "--scaling" in sys.argv:
         run_scaling()
     else:
