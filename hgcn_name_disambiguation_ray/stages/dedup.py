@@ -852,14 +852,43 @@ def segment_dedup(
 
     kept = joined.map_batches(keep_first, batch_format="pyarrow")
 
-    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([id_col, "seg_idx"], kind="mergesort")
-        out = df.groupby(id_col, as_index=False, sort=False).agg(
-            clean_text=("seg", " ".join),
-            n_segs=("n_segs", "first"),
-            n_kept=("seg", "size"),
+    def rebuild(t: pa.Table) -> pa.Table:
+        # reassembly is the same binary_join trick as segmentation, run in
+        # reverse: sort the bucket by (doc, seg_idx), derive per-doc run
+        # offsets, join each run — no per-doc Python string building
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "clean_text": pa.array([], pa.string()),
+                    "n_segs": pa.array([], pa.int64()),
+                    "n_kept": pa.array([], pa.int64()),
+                }
+            )
+        idx = pa.compute.sort_indices(
+            t, sort_keys=[(id_col, "ascending"), ("seg_idx", "ascending")]
         )
-        out["n_kept"] = out["n_kept"].astype(np.int64)
-        return out
+        t = t.take(idx)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        change = np.flatnonzero(np.diff(ids)) + 1
+        offsets = np.concatenate([[0], change, [len(ids)]]).astype(np.int64)
+        segs = t["seg"]
+        if isinstance(segs, pa.ChunkedArray):
+            segs = segs.combine_chunks()
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), segs.cast(pa.large_string())
+        )
+        clean = pa.compute.binary_join(lists, pa.scalar(" ", pa.large_string()))
+        starts = offsets[:-1]
+        return pa.table(
+            {
+                id_col: pa.array(ids[starts], pa.int64()),
+                "clean_text": clean.cast(pa.string()),
+                "n_segs": t["n_segs"].take(pa.array(starts)),
+                "n_kept": pa.array(np.diff(offsets), pa.int64()),
+            }
+        )
 
-    return bucketed_group_apply(kept, [id_col], rebuild, n_buckets=64)
+    return bucketed_group_apply(
+        kept, [id_col], rebuild, n_buckets=64, batch_format="pyarrow"
+    )
