@@ -342,6 +342,36 @@ def _q_hopping_window(sf_dir: str):
     )
 
 
+def _q_json_props_stats(sf_dir: str):
+    """Per-event-type stats over a JSON field extracted from the props
+    sidecar — vectorized Arrow regex fast path (functions/jsonx.py),
+    per-batch partial aggregation before the shuffle."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    from hgcn_name_disambiguation_ray.functions.jsonx import json_extract_int64
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = json_extract_int64(t["props"], "k")
+        g = pa.table({"event_type": t["event_type"], "k": k}).group_by(
+            "event_type"
+        ).aggregate([("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")])
+        ren = {"k_count": "n", "k_sum": "sum_k", "k_min": "min_k", "k_max": "max_k"}
+        return g.rename_columns([ren.get(c, c) for c in g.column_names])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("event_type").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_k", alias_name="sum_k"),
+        Min("min_k", alias_name="min_k"),
+        Max("max_k", alias_name="max_k"),
+    )
+
+
 def _q_top_orders(sf_dir: str):
     import ray.data as rd
 
@@ -1602,14 +1632,16 @@ def _q_linkage_arnetminer_artifact(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract: the driver verifies the FIRST 50 dict entries against
-    # oracle_sql().  All 50 oracle-bearing queries therefore come first (the
-    # window is exactly full); no_oracle queries follow, led by the two
-    # highest-signal ones (the Arnetminer artifact regime and the IVF index,
-    # both of which carry hard in-row signals pinned by tests).
+    # oracle_sql().  50 of the 51 oracle-bearing queries come first (the
+    # window is exactly full); token_count — driver-verified hash-exact in
+    # rounds 1, 2 and 3 — rotates out to admit json_props_stats, so every
+    # oracle-bearing query has driver evidence in at least one round.
+    # no_oracle queries follow, led by the two highest-signal ones (the
+    # Arnetminer artifact regime and the IVF index, both of which carry hard
+    # in-row signals pinned by tests).
     return {
         "source_filter": _q_source_filter,
         "normalize_tokens": _q_normalize_tokens,
-        "token_count": _q_token_count,
         "exact_dedup": _q_exact_dedup,
         "dedup_corpus": _q_dedup_corpus,
         "lang_agg": _q_lang_agg,
@@ -1633,6 +1665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": _q_top_customers,
         "lineitem_agg": _q_lineitem_agg,
         "sessionize": _q_sessionize,
+        "json_props_stats": _q_json_props_stats,
         "train_test_split": _q_train_test_split,
         "vocabulary_counts": _q_vocabulary,
         "pack_sequences": _q_pack_sequences,
@@ -1657,7 +1690,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_orders": _q_segment_orders,
         "asof_latest_event": _q_asof_latest_event,
         "range_week_events": _q_range_week_events,
-        # --- past the driver's 50-query window: no_oracle queries, the two
+        # --- past the driver's 50-query window ---
+        # token_count keeps its oracle but rotates out of the window to admit
+        # json_props_stats: it is driver-verified hash-exact in rounds 1, 2
+        # AND 3 (CORRECTNESS_r0{1,2,3}.json), and tools/check_queries.py still
+        # verifies it locally at both scales every round.
+        "token_count": _q_token_count,
+        # no_oracle queries follow, the two
         # highest-signal ones (hard in-row signals, pinned by tests) first ---
         "linkage_arnetminer_artifact": _q_linkage_arnetminer_artifact,
         "ivf_topk": _q_ivf_topk,
@@ -1808,6 +1847,12 @@ def oracle_sql() -> dict[str, str]:
         "window_counts": (
             "SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events "
             "FROM events GROUP BY 1, 2"
+        ),
+        "json_props_stats": (
+            "WITH e AS (SELECT event_type, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) "
+            "SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k, "
+            "min(k) AS min_k, max(k) AS max_k FROM e GROUP BY 1"
         ),
         "hopping_window": (
             # same tiling as the engine: event at t lands in windows with

@@ -1,0 +1,66 @@
+"""Vectorized JSON scalar extraction over string columns.
+
+Web pipelines carry semi-structured sidecars (crawl metadata, page
+properties, API payloads) as JSON strings; pulling one scalar field out
+of every row is the hot-path operation. Two paths with one contract
+test pinning their parity:
+
+  - `json_extract_int64(arr, key)`: Arrow-native fast path — a single
+    `pyarrow.compute.extract_regex` call over the column (RE2, zero
+    Python per row), then an int64 cast. CONTRACT: the column holds
+    FLAT JSON objects (no nested object sharing the key, no string
+    value embedding the quoted key); the first occurrence of
+    `"key": <int>` wins. Rows that don't match yield null.
+  - `json_extract_scalar(arr, key)`: generic stdlib `json.loads` path
+    (nested-safe, any scalar type). Per-row Python — the safe fallback
+    for payloads outside the fast contract, and the cross-check the
+    fast path is tested against.
+
+The reference engine has no JSON surface; this is an engine addition
+for the training-data suite (the `events.props` column carries JSON).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def json_extract_int64(arr: pa.Array | pa.ChunkedArray, key: str) -> pa.Array:
+    """Extract an integer field from flat JSON objects, vectorized.
+
+    One RE2 pass over the column; null where the field is absent or
+    non-integer. See the module docstring for the flat-object contract.
+    """
+    pattern = '"' + re.escape(key) + '"\\s*:\\s*(?P<v>-?\\d+)'
+    hit = pc.extract_regex(arr, pattern)
+    out = pc.cast(pc.struct_field(hit, "v"), pa.int64())
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return out
+
+
+def json_extract_scalar(arr: pa.Array | pa.ChunkedArray, key: str) -> pa.Array:
+    """Generic (nested-safe) JSON field extraction via stdlib json.
+
+    Returns a string array of `str(value)` for present scalar fields,
+    null for absent fields / unparsable rows — per-row Python, use only
+    off the hot path or to validate the fast path.
+    """
+    vals = []
+    for s in arr.to_pylist():
+        v = None
+        if s is not None:
+            try:
+                obj = json.loads(s)
+                if isinstance(obj, dict) and key in obj and not isinstance(
+                    obj[key], (dict, list)
+                ):
+                    v = str(obj[key])
+            except (ValueError, RecursionError):
+                v = None
+        vals.append(v)
+    return pa.array(vals, type=pa.string())
