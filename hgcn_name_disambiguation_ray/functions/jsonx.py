@@ -35,7 +35,11 @@ def json_extract_int64(arr: pa.Array | pa.ChunkedArray, key: str) -> pa.Array:
     One RE2 pass over the column; null where the field is absent or
     non-integer. See the module docstring for the flat-object contract.
     """
-    pattern = '"' + re.escape(key) + '"\\s*:\\s*(?P<v>-?\\d+)'
+    # The trailing \s*[,}] pins the value's JSON terminator so a float or
+    # exponent value ({"k": 12.5}, {"k": 1e5}) yields null instead of its
+    # integer prefix (RE2 has no lookahead; in a flat object an integer
+    # value is always followed by optional whitespace then ',' or '}').
+    pattern = '"' + re.escape(key) + '"\\s*:\\s*(?P<v>-?\\d+)\\s*[,}]'
     hit = pc.extract_regex(arr, pattern)
     out = pc.cast(pc.struct_field(hit, "v"), pa.int64())
     if isinstance(out, pa.ChunkedArray):

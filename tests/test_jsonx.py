@@ -26,16 +26,20 @@ def test_fast_path_matches_generic_on_flat_objects():
         "not json at all",    # unparsable -> null on both paths
         None,                 # null in -> null out
         '{"k": "text"}',      # non-integer -> null on the fast path
+        '{"k": 12.5}',        # float -> null, NOT the integer prefix 12
+        '{"k": 1e5}',         # exponent -> null, NOT 1
+        '{"k": 69 }',         # whitespace before the terminator still matches
     ]
     arr = pa.array(rows, type=pa.string())
     fast = json_extract_int64(arr, "k").to_pylist()
     slow = json_extract_scalar(arr, "k").to_pylist()
-    assert fast == [69, 0, -3, 42, 7, 12, None, None, None, None]
+    assert fast == [69, 0, -3, 42, 7, 12, None, None, None, None, None, None, 69]
     # generic path agrees wherever the fast contract holds (integer fields)
     for f, s in zip(fast[:7], slow[:7]):
         assert (f is None and s is None) or str(f) == s
-    # generic path additionally surfaces the non-integer scalar
-    assert slow[-1] == "text"
+    # generic path additionally surfaces the non-integer scalars
+    assert slow[9] == "text"
+    assert slow[10] == "12.5"
 
 
 def test_fast_path_contract_divergence_is_the_documented_one():
