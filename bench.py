@@ -324,13 +324,24 @@ def run_segdedup_scale() -> None:
     out_df = out.to_pandas()
     dt = time.time() - t0
     n_plant = int(s["n_base"] * s["span_frac"])
-    dropped = int((out_df["n_segs"] - out_df["n_kept"]).sum())
     recv_lo = s["n_base"] - n_plant
+    # Docs whose EVERY segment was seen earlier produce no output row, so
+    # reconcile against the full input id range: a missing doc counts as
+    # all its segments dropped, and a missing donor breaks donors_intact.
+    import numpy as np
+    n_segs_per_doc = s["tokens_per_doc"] // s["seg_tokens"]
+    missing = np.ones(s["n_base"], dtype=bool)
+    missing[out_df["doc_id"].to_numpy()] = False
+    miss_recv = int(missing[recv_lo:].sum())
+    miss_donor = int(missing[:recv_lo].sum())
+    dropped = int((out_df["n_segs"] - out_df["n_kept"]).sum()) + (
+        (miss_recv + miss_donor) * n_segs_per_doc
+    )
     recv_dropped = int(
         (out_df.loc[out_df["doc_id"] >= recv_lo, "n_segs"]
          - out_df.loc[out_df["doc_id"] >= recv_lo, "n_kept"]).sum()
-    )
-    donors_intact = bool(
+    ) + miss_recv * n_segs_per_doc
+    donors_intact = miss_donor == 0 and bool(
         (out_df.loc[out_df["doc_id"] < recv_lo, "n_kept"]
          == out_df.loc[out_df["doc_id"] < recv_lo, "n_segs"]).all()
     )

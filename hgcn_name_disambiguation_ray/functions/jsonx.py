@@ -41,7 +41,28 @@ def json_extract_int64(arr: pa.Array | pa.ChunkedArray, key: str) -> pa.Array:
     # value is always followed by optional whitespace then ',' or '}').
     pattern = '"' + re.escape(key) + '"\\s*:\\s*(?P<v>-?\\d+)\\s*[,}]'
     hit = pc.extract_regex(arr, pattern)
-    out = pc.cast(pc.struct_field(hit, "v"), pa.int64())
+    v = pc.struct_field(hit, "v")
+    # Null out values that don't fit int64 BEFORE the cast (pc.cast raises
+    # on overflow and one oversized row would abort the whole pipeline).
+    # For equal-length digit strings lexicographic order == numeric order,
+    # so an exact vectorized bound check is: magnitude shorter than 19
+    # digits always fits; exactly 19 digits fits iff <= the type's max
+    # magnitude (sign-dependent); 20+ digits never fits.
+    neg = pc.starts_with(v, "-")
+    mag = pc.if_else(neg, pc.utf8_slice_codeunits(v, 1), v)
+    ln = pc.utf8_length(mag)
+    fits = pc.or_(
+        pc.less(ln, 19),
+        pc.and_(
+            pc.equal(ln, 19),
+            pc.if_else(
+                neg,
+                pc.less_equal(mag, "9223372036854775808"),
+                pc.less_equal(mag, "9223372036854775807"),
+            ),
+        ),
+    )
+    out = pc.cast(pc.if_else(fits, v, None), pa.int64())
     if isinstance(out, pa.ChunkedArray):
         out = out.combine_chunks()
     return out
@@ -50,9 +71,11 @@ def json_extract_int64(arr: pa.Array | pa.ChunkedArray, key: str) -> pa.Array:
 def json_extract_scalar(arr: pa.Array | pa.ChunkedArray, key: str) -> pa.Array:
     """Generic (nested-safe) JSON field extraction via stdlib json.
 
-    Returns a string array of `str(value)` for present scalar fields,
-    null for absent fields / unparsable rows — per-row Python, use only
-    off the hot path or to validate the fast path.
+    Returns a string array with JSON-text semantics (matching duckdb's
+    `json_extract_string`): strings unquoted, numbers/bools as their JSON
+    rendering ("12.5", "true"), JSON null / absent field / non-scalar /
+    unparsable row all -> null. Per-row Python — use only off the hot
+    path or to validate the fast path.
     """
     vals = []
     for s in arr.to_pylist():
@@ -60,10 +83,16 @@ def json_extract_scalar(arr: pa.Array | pa.ChunkedArray, key: str) -> pa.Array:
         if s is not None:
             try:
                 obj = json.loads(s)
-                if isinstance(obj, dict) and key in obj and not isinstance(
-                    obj[key], (dict, list)
-                ):
-                    v = str(obj[key])
+                if isinstance(obj, dict) and key in obj:
+                    val = obj[key]
+                    if val is None or isinstance(val, (dict, list)):
+                        v = None
+                    elif isinstance(val, str):
+                        v = val
+                    else:
+                        # bools/numbers: JSON rendering, not Python repr
+                        # (True -> "true", 12.5 -> "12.5")
+                        v = json.dumps(val)
             except (ValueError, RecursionError):
                 v = None
         vals.append(v)

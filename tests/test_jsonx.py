@@ -50,6 +50,30 @@ def test_fast_path_contract_divergence_is_the_documented_one():
     assert json_extract_scalar(arr, "k").to_pylist() == ["6"]
 
 
+def test_int64_bounds_null_instead_of_crash():
+    # One oversized row must yield null, not abort the pipeline with an
+    # ArrowInvalid cast error; the exact int64 bounds still fit.
+    rows = [
+        '{"k": 9223372036854775807}',   # int64 max -> fits
+        '{"k": -9223372036854775808}',  # int64 min -> fits
+        '{"k": 9223372036854775808}',   # max+1 -> null
+        '{"k": -9223372036854775809}',  # min-1 -> null
+        '{"k": 99999999999999999999}',  # 20 digits -> null
+        '{"k": 69}',
+    ]
+    got = json_extract_int64(pa.array(rows), "k").to_pylist()
+    assert got == [9223372036854775807, -9223372036854775808, None, None, None, 69]
+
+
+def test_scalar_path_uses_json_rendering_not_python_repr():
+    # JSON null -> null (not "None"); bools -> "true"/"false" (not
+    # "True"/"False"); string values pass through unquoted — matching
+    # duckdb json_extract_string semantics.
+    rows = ['{"k": null}', '{"k": true}', '{"k": false}', '{"k": 12.5}', '{"k": "None"}']
+    got = json_extract_scalar(pa.array(rows), "k").to_pylist()
+    assert got == [None, "true", "false", "12.5", "None"]
+
+
 def test_key_is_regex_escaped():
     arr = pa.array(['{"a.b": 9, "axb": 1}'])
     assert json_extract_int64(arr, "a.b").to_pylist() == [9]
