@@ -1337,6 +1337,32 @@ def _q_approx_distinct(sf_dir: str):
     )
 
 
+def _q_kll_quantiles(sf_dir: str):
+    """KLL quantile sketch (mergeable, bounded-state — the unbounded-domain
+    companion to the exact `char_quantiles`) over a high-cardinality float
+    column (mean token length = n_chars / n_tokens). Hard in-row signal:
+    `err_milli` is the exact rank error of each estimate, measured against
+    the full distributed CDF of the same column; pinned < 15 in tests
+    (k=256 gives 2-5 milli empirically). no_oracle: compactor sketches are
+    not SQL-expressible; the error column IS the check."""
+    import pyarrow.compute as _pc
+
+    from hgcn_name_disambiguation_ray.stages.sketch import kll_quantiles
+
+    docs = _docs(sf_dir, columns=["doc_id", "n_chars", "text"])
+
+    def mean_tok_len(t: pa.Table) -> pa.Table:
+        toks = _pc.split_pattern(_pc.utf8_trim_whitespace(t["text"]), " ")
+        n_tok = _pc.max_element_wise(_pc.list_value_length(toks), 1)
+        ratio = _pc.divide(
+            _pc.cast(t["n_chars"], pa.float64()), _pc.cast(n_tok, pa.float64())
+        )
+        return pa.table({"mean_tok_len": ratio})
+
+    vals = docs.map_batches(mean_tok_len, batch_format="pyarrow")
+    return kll_quantiles(vals, "mean_tok_len")
+
+
 def _q_token_freq_score(sf_dir: str):
     """Mean corpus-frequency of each doc's tokens (integer-exact LM-
     perplexity stand-in for crawl quality filtering); a composition of
@@ -1711,6 +1737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "audio_features": _q_audio_features,
         "approx_distinct": _q_approx_distinct,
+        "kll_quantiles": _q_kll_quantiles,
         "video_frames": _q_video_frames,
     }
 

@@ -486,11 +486,20 @@ def write_clusters(clusters: Dataset, out_dir: str) -> None:
     )
 
 
-def clusters_json_summary(clusters: Dataset) -> dict:
+def clusters_json_summary(clusters: Dataset, max_rows: int = 100_000) -> dict:
     """Reference-shaped JSON summary (S8, `name_disambiguation.py:236-239,
     741-748`): {block_key: {cluster_index: sorted mention ids}}, cluster
     indices densified per block in order of smallest member id. For small
-    outputs / debugging only — the parquet sink is the scale path."""
+    outputs / debugging only — the parquet sink is the scale path, and
+    this raises rather than silently pulling a web-scale result onto the
+    driver: callers must pass an explicit larger `max_rows` to override."""
+    n = clusters.count()
+    if n > max_rows:
+        raise ValueError(
+            f"clusters_json_summary is a driver-side debug view: input has "
+            f"{n} rows > max_rows={max_rows}. Use write_clusters (partitioned "
+            f"parquet) for large outputs, or pass max_rows explicitly."
+        )
 
     def per_block(g: pd.DataFrame) -> pd.DataFrame:
         by_cluster: dict[str, list[str]] = {}

@@ -90,19 +90,43 @@ def _small_star(edges: Dataset, n_buckets: int = 64) -> Dataset:
     )
 
 
+def _hash_col64(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """uint64 hash per value of a string or integer edge-endpoint column."""
+    from hgcn_name_disambiguation_ray.functions.hashing import (
+        _splitmix64,
+        hash_string_array,
+    )
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        return hash_string_array(col)
+    return _splitmix64(col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64))
+
+
 def _checksum(edges: Dataset) -> tuple[int, int]:
-    """(row_count, order-insensitive content hash) for convergence tests."""
+    """(row_count, order-insensitive content hash) for convergence tests.
 
-    def h(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({"h": [0], "n": [0]})
-        # convergence compares signatures ACROSS ROUNDS of one driver run,
-        # so the (vectorized C) pandas row hash is sufficient — no need for
-        # the cross-process blake hash here
-        vals = pd.util.hash_pandas_object(df[["u", "v"]], index=False).to_numpy(np.uint64)
-        return pd.DataFrame({"h": [int(np.bitwise_xor.reduce(vals))], "n": [len(df)]})
+    Arrow/numpy end to end — hashes the two endpoint columns straight
+    from the Arrow buffers (no pandas conversion per round on the
+    star-contraction loop). Rows combine asymmetrically (u then v), rows
+    and partitions combine by XOR, so the signature is independent of row
+    order and partitioning within one driver run."""
 
-    parts = edges.map_batches(h, batch_format="pandas").to_pandas()
+    def h(t: pa.Table) -> pa.Table:
+        from hgcn_name_disambiguation_ray.functions.hashing import _splitmix64
+
+        if t.num_rows == 0:
+            return pa.table({"h": pa.array([0], pa.uint64()), "n": pa.array([0], pa.int64())})
+        row = _splitmix64(_hash_col64(t["u"]) * np.uint64(0x100000001B3) ^ _hash_col64(t["v"]))
+        return pa.table(
+            {
+                "h": pa.array([int(np.bitwise_xor.reduce(row))], pa.uint64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    parts = edges.map_batches(h, batch_format="pyarrow").to_pandas()
     if len(parts) == 0:
         return (0, 0)
     return (

@@ -504,15 +504,44 @@ def minhash_lsh_dedup(
     bands: int = 32,
     shingle_n: int = 3,
     seed: int = 7,
+    checkpoint_dir: str | None = None,
+    input_lineage: str = "",
 ) -> Dataset:
     """Near-dup groups: (doc_id, canonical_id). Jaccard estimated from
     MinHash signatures (fraction of equal components) >= threshold.
 
     Signatures are wide (num_perms x uint64), so verification attaches
     them to candidate pairs via two bucketed hash joins — never a driver
-    pull or whole-map broadcast (`_verify_pairs_by_join`)."""
+    pull or whole-map broadcast (`_verify_pairs_by_join`).
+
+    `checkpoint_dir` (with `input_lineage` identifying the input, e.g.
+    its parquet path) checkpoints the signature stage — the expensive
+    full-text pass — under the same lineage-manifest contract as the
+    linkage pipeline (`sources/checkpoint.py`): a killed run resumes by
+    reading signatures back instead of re-shingling the corpus."""
     sig_stage = _SignatureStage(text_col, id_col, num_perms, shingle_n, seed)
-    sigs_ds = ds.map_batches(sig_stage, batch_format="pyarrow").materialize()
+
+    def make_sigs() -> Dataset:
+        return ds.map_batches(sig_stage, batch_format="pyarrow")
+
+    if checkpoint_dir is not None:
+        import os
+
+        from hgcn_name_disambiguation_ray.sources.checkpoint import (
+            checkpoint_stage,
+            fingerprint,
+        )
+
+        sigs_ds = checkpoint_stage(
+            make_sigs,
+            os.path.join(checkpoint_dir, "minhash_signatures"),
+            lineage=fingerprint(
+                "minhash_sigs_v1", input_lineage, text_col, id_col, num_perms,
+                shingle_n, seed,
+            ),
+        ).materialize()
+    else:
+        sigs_ds = make_sigs().materialize()
     band_rows = sigs_ds.select_columns(["doc_id", "signature"]).map_batches(
         _explode_bands(bands), batch_format="pyarrow"
     )
@@ -784,6 +813,8 @@ def segment_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     seg_tokens: int = 16,
+    checkpoint_dir: str | None = None,
+    input_lineage: str = "",
 ) -> Dataset:
     """C4-style duplicate-span removal: split each doc into consecutive
     `seg_tokens`-token segments, drop every segment whose exact text
@@ -805,7 +836,10 @@ def segment_dedup(
     128-bit hash (distributed hash join — the firsts table is
     O(distinct segments), never broadcastable), filters to survivors,
     and reassembles per doc in a bucketed groupby. No driver-side
-    materialization anywhere."""
+    materialization anywhere.
+
+    `checkpoint_dir` (+ `input_lineage`) checkpoints the pass-1
+    first-occurrence table so a killed run resumes at the pass-2 join."""
 
     def narrow(t: pa.Table) -> pa.Table:
         return _segment_rows(t, text_col, id_col, seg_tokens, with_text=False)
@@ -824,16 +858,38 @@ def segment_dedup(
         ren = {"code_min": "keep_code"}
         return g.rename_columns([ren.get(c, c) for c in g.column_names])
 
-    firsts = bucketed_group_apply(
-        ds.map_batches(narrow, batch_format="pyarrow").map_batches(
-            partial, batch_format="pyarrow"
-        ),
-        ["h_hi", "h_lo"],
-        lambda df: df.groupby(["h_hi", "h_lo"], as_index=False, sort=False).agg(
-            keep_code=("keep_code", "min")
-        ),
-        n_buckets=64,
-    )
+    def make_firsts() -> Dataset:
+        return bucketed_group_apply(
+            ds.map_batches(narrow, batch_format="pyarrow").map_batches(
+                partial, batch_format="pyarrow"
+            ),
+            ["h_hi", "h_lo"],
+            lambda df: df.groupby(["h_hi", "h_lo"], as_index=False, sort=False).agg(
+                keep_code=("keep_code", "min")
+            ),
+            n_buckets=64,
+        )
+
+    if checkpoint_dir is not None:
+        # checkpoint the first-occurrence table (the pass-1 full-corpus scan
+        # + bucketed groupby) under the lineage-manifest contract — resume
+        # skips straight to the pass-2 join (sources/checkpoint.py)
+        import os
+
+        from hgcn_name_disambiguation_ray.sources.checkpoint import (
+            checkpoint_stage,
+            fingerprint,
+        )
+
+        firsts = checkpoint_stage(
+            make_firsts,
+            os.path.join(checkpoint_dir, "segment_firsts"),
+            lineage=fingerprint(
+                "segment_firsts_v1", input_lineage, text_col, id_col, seg_tokens
+            ),
+        )
+    else:
+        firsts = make_firsts()
 
     def wide(t: pa.Table) -> pa.Table:
         return _segment_rows(t, text_col, id_col, seg_tokens, with_text=True)

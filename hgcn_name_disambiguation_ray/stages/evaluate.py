@@ -17,12 +17,11 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
-
-def _c2(n: pd.Series) -> pd.Series:
-    return n * (n - 1) / 2.0
+from .groupagg import bucketed_sum
 
 
 def _cell_counts(ds: Dataset, keys: list[str], out: str) -> Dataset:
@@ -82,30 +81,50 @@ def majority_assignment(labeled: Dataset) -> Dataset:
     return labeled.groupby("block_key").map_groups(per_block, batch_format="pandas")
 
 
+def _block_c2_sums(labeled: Dataset, keys: list[str], out: str) -> Dataset:
+    """Per-block Σ C(n_cell, 2) over the distinct-`keys` cells, computed
+    entirely distributed: per-batch partial counts -> groupby-sum cells ->
+    vectorized C(n,2) -> bucketed per-block sum. Result has exactly one
+    row per block_key — the only thing the driver ever pulls."""
+
+    def c2(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.float64())
+        v = pc.divide(pc.multiply(n, pc.subtract(n, pa.scalar(1.0))), pa.scalar(2.0))
+        return pa.table({"block_key": t["block_key"], out: v})
+
+    cells = _cell_counts(labeled, keys, "n").map_batches(c2, batch_format="pyarrow")
+    return bucketed_sum(cells, ["block_key"], [out])
+
+
 def pairwise_scores(labeled: Dataset) -> pd.DataFrame:
     """labeled: Dataset with columns (block_key, person_id, cluster_id).
 
     Returns per-block DataFrame (block_key, precision, recall, f1) plus a
     macro-average row (block_key='__macro__'), mirroring the reference's
     per-name rows + 'Avg' row (`name_disambiguation.py:1265-1303`).
-    """
-    labeled = labeled.materialize()  # post-clustering label rows: small; avoids
-    # re-executing the upstream pipeline for each of the three count passes
-    #
-    # SCALE GUARD: the three count frames below come to the driver. Their
-    # size is the number of DISTINCT (block, truth-class x cluster) cells
-    # of the LABELED subset — evaluation corpora (110-name Arnetminer,
-    # fixtures) keep this in the thousands. If labeled data ever reaches
-    # web scale, swap the pandas tails for bucketed_group_apply over
-    # block_key and aggregate macro counts distributed; the per-cell
-    # counting (_cell_counts) is already a distributed pre-aggregation.
-    cells = _cell_counts(labeled, ["block_key", "person_id", "cluster_id"], "n").to_pandas()
-    preds = _cell_counts(labeled, ["block_key", "cluster_id"], "n").to_pandas()
-    trues = _cell_counts(labeled, ["block_key", "person_id"], "n").to_pandas()
 
-    tp = cells.assign(tp=_c2(cells["n"])).groupby("block_key")["tp"].sum()
-    pp = preds.assign(pp=_c2(preds["n"])).groupby("block_key")["pp"].sum()
-    ap = trues.assign(ap=_c2(trues["n"])).groupby("block_key")["ap"].sum()
+    Fully distributed: cell counting, C(n,2) and the per-block TP/PP/AP
+    sums all run as Ray stages; the driver materializes only the three
+    one-row-per-block results (pinned by a test), so the path holds even
+    when the labeled subset itself is web-scale.
+    """
+    labeled = labeled.materialize()  # post-clustering label rows; avoids
+    # re-executing the upstream pipeline for each of the three count passes
+    tp = (
+        _block_c2_sums(labeled, ["block_key", "person_id", "cluster_id"], "tp")
+        .to_pandas()
+        .set_index("block_key")["tp"]
+    )
+    pp = (
+        _block_c2_sums(labeled, ["block_key", "cluster_id"], "pp")
+        .to_pandas()
+        .set_index("block_key")["pp"]
+    )
+    ap = (
+        _block_c2_sums(labeled, ["block_key", "person_id"], "ap")
+        .to_pandas()
+        .set_index("block_key")["ap"]
+    )
 
     df = pd.DataFrame({"tp": tp, "pp": pp, "ap": ap}).fillna(0.0)
     df["precision"] = (df["tp"] / df["pp"]).where(df["tp"] > 0, 0.0)

@@ -238,3 +238,196 @@ def incremental_dedup(
     return definitely_new.select_columns(cols).union(
         resurrected.select_columns(cols)
     )
+
+
+# --------------------------------------------------------------------------
+# KLL quantile sketch: unbounded / high-cardinality domains
+# --------------------------------------------------------------------------
+#
+# `char_quantiles` (pipelines/textprep.py) is EXACT but assumes the
+# distinct-value count is small (bounded ints). For unbounded domains
+# (floats, high-cardinality ints) this is the sketch path: KLL
+# (Karnin, Lang, Liberty, "Optimal Quantile Approximation in Streams",
+# FOCS 2016 — a public algorithm), simplified to fixed per-level
+# capacity k (space O(k log(n/k)), rank error O(log(n/k)/k) — a few
+# milli-quantiles at k=256 for any realistic n). Same shape as HLL:
+# one small sketch row per batch, a driver reduce over O(n_blocks)
+# rows of bounded state; merge is level-wise concat + recompact, so
+# the result is independent of partitioning up to the deterministic
+# compaction coin.
+
+
+class KLLSketch:
+    """Mergeable quantile sketch over float64 values.
+
+    Level i holds items of weight 2^i. Compaction sorts a full level and
+    promotes every other item (offset from a deterministic splitmix
+    counter — reproducible across runs, unbiased across compactions).
+    """
+
+    __slots__ = ("k", "n", "_coin", "levels")
+
+    def __init__(self, k: int = 256) -> None:
+        if k < 8:
+            raise ValueError("k must be >= 8")
+        self.k = int(k)
+        self.n = 0
+        self._coin = np.uint64(0x5EED_C0DE)
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+
+    def add(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return
+        self.n += len(v)
+        # feed in k-sized slices so level 0 never holds more than 2k items
+        for lo in range(0, len(v), self.k):
+            self.levels[0] = np.concatenate([self.levels[0], v[lo : lo + self.k]])
+            self._compress()
+
+    def merge(self, other: "KLLSketch") -> None:
+        if other.k != self.k:
+            raise ValueError("cannot merge sketches with different k")
+        self.n += other.n
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, np.float64))
+        for i, lv in enumerate(other.levels):
+            if len(lv):
+                self.levels[i] = np.concatenate([self.levels[i], lv])
+        self._coin ^= other._coin
+        self._compress()
+
+    def _flip(self) -> int:
+        from hgcn_name_disambiguation_ray.functions.hashing import _splitmix64
+
+        self._coin += np.uint64(1)
+        return int(_splitmix64(np.array([self._coin], dtype=np.uint64))[0] & np.uint64(1))
+
+    def _compress(self) -> None:
+        level = 0
+        while level < len(self.levels):
+            buf = self.levels[level]
+            if len(buf) > self.k:
+                buf = np.sort(buf, kind="stable")
+                promoted = buf[self._flip() :: 2]
+                self.levels[level] = np.empty(0, np.float64)
+                if level + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, np.float64))
+                self.levels[level + 1] = np.concatenate(
+                    [self.levels[level + 1], promoted]
+                )
+            level += 1
+
+    def _weighted(self) -> tuple[np.ndarray, np.ndarray]:
+        vals = np.concatenate([lv for lv in self.levels]) if self.n else np.empty(0)
+        wts = (
+            np.concatenate(
+                [np.full(len(lv), 1 << i, dtype=np.int64) for i, lv in enumerate(self.levels)]
+            )
+            if self.n
+            else np.empty(0, np.int64)
+        )
+        order = np.argsort(vals, kind="stable")
+        return vals[order], wts[order]
+
+    def quantiles(self, qs: np.ndarray) -> np.ndarray:
+        """Value at 1-based rank ceil(q * W) of the weighted item stream
+        (same integer milli-rank convention as `char_quantiles`)."""
+        vals, wts = self._weighted()
+        if not len(vals):
+            return np.zeros(len(qs), dtype=np.float64)
+        cum = np.cumsum(wts)
+        w = int(cum[-1])
+        q_milli = np.round(np.asarray(qs, dtype=np.float64) * 1000).astype(np.int64)
+        ranks = ((q_milli * w + 999) // 1000).clip(1, w)
+        return vals[np.searchsorted(cum, ranks, side="left")]
+
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps(
+            {"k": self.k, "n": self.n, "coin": int(self._coin), "levels": self.levels}
+        )
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "KLLSketch":
+        import pickle
+
+        d = pickle.loads(raw)
+        sk = cls(d["k"])
+        sk.n = d["n"]
+        sk._coin = np.uint64(d["coin"])
+        sk.levels = d["levels"]
+        return sk
+
+
+def kll_sketch(ds: Dataset, col: str, k: int = 256) -> KLLSketch:
+    """One KLL sketch over a numeric column: per-batch sketches (bounded
+    state, built where the data lives), then a driver merge over
+    O(n_blocks) ~k*log(n/k)*8-byte rows — never the column itself."""
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        sk = KLLSketch(k)
+        sk.add(t[col].to_numpy(zero_copy_only=False).astype(np.float64))
+        return pa.table({"sketch": pa.array([sk.to_bytes()], pa.binary())})
+
+    merged = KLLSketch(k)
+    for row in ds.select_columns([col]).map_batches(
+        per_batch, batch_format="pyarrow"
+    ).take_all():
+        merged.merge(KLLSketch.from_bytes(row["sketch"]))
+    return merged
+
+
+def kll_quantiles(
+    ds: Dataset,
+    col: str,
+    qs: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+    k: int = 256,
+) -> "pa.Table":
+    """Sketched quantiles with the exact rank error pinned IN-ROW: for
+    each q, `est_value` is the KLL estimate and `err_milli` is the
+    distance |true_rank(est_value) - q| in milli-quantiles, where the
+    true rank comes from an exact distributed (value -> count) CDF of the
+    same column. The hard signal a driver rows-only check can grade
+    without an oracle: err_milli must stay within the sketch's bound
+    (a few milli at k=256)."""
+    from ray.data.aggregate import Sum
+
+    def counts(t: pa.Table) -> pa.Table:
+        x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        vals, cnts = np.unique(x[~np.isnan(x)], return_counts=True)
+        return pa.table({"value": pa.array(vals), "cnt": pa.array(cnts.astype(np.int64))})
+
+    sk = kll_sketch(ds, col, k)
+    q_arr = np.asarray(qs, dtype=np.float64)
+    est = sk.quantiles(q_arr)
+
+    cdf = (
+        ds.select_columns([col])
+        .map_batches(counts, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("value")
+    )
+    vals = cdf["value"].to_numpy(dtype=np.float64)
+    cum = cdf["cnt"].to_numpy(dtype=np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    q_milli = np.round(q_arr * 1000).astype(np.int64)
+    if n:
+        # exact 1-based rank of the estimated value = #values <= est
+        rank = cum[np.searchsorted(vals, est, side="right") - 1]
+        rank = np.where(np.searchsorted(vals, est, side="right") == 0, 0, rank)
+        exact_rank_milli = (rank * 1000 + n - 1) // n
+    else:
+        exact_rank_milli = np.zeros(len(q_milli), dtype=np.int64)
+    return pa.table(
+        {
+            "q_milli": pa.array(q_milli),
+            "est_value": pa.array(est),
+            "exact_rank_milli": pa.array(exact_rank_milli.astype(np.int64)),
+            "err_milli": pa.array(np.abs(exact_rank_milli - q_milli).astype(np.int64)),
+        }
+    )

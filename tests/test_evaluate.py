@@ -84,3 +84,36 @@ def test_majority_assignment(ray_session):
     assert out.loc["p3", "assigned_cluster"] == "C"
     # each cluster claims exactly one person
     assert out["assigned_cluster"].is_unique
+
+
+def test_eval_driver_pull_is_one_row_per_block(ray_session):
+    """pairwise_scores must never pull per-cell counts to the driver: the
+    per-block C(n,2) sums it materializes are exactly one row per block,
+    regardless of how many (truth x cluster) cells the block contains."""
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.evaluate import _block_c2_sums
+
+    rng = np.random.default_rng(11)
+    n_blocks, rows_per_block = 5, 600
+    frames = []
+    for b in range(n_blocks):
+        frames.append(
+            pd.DataFrame(
+                {
+                    "block_key": f"b{b}",
+                    "person_id": [f"t{x}" for x in rng.integers(0, 50, rows_per_block)],
+                    "cluster_id": [f"c{x}" for x in rng.integers(0, 40, rows_per_block)],
+                }
+            )
+        )
+    labeled = rd.from_pandas(pd.concat(frames, ignore_index=True)).materialize()
+    # thousands of distinct cells per block, but the driver-side result is
+    # exactly n_blocks rows for each of the three count identities
+    for keys, out in [
+        (["block_key", "person_id", "cluster_id"], "tp"),
+        (["block_key", "cluster_id"], "pp"),
+        (["block_key", "person_id"], "ap"),
+    ]:
+        sums = _block_c2_sums(labeled, keys, out)
+        assert sums.count() == n_blocks

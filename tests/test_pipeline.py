@@ -339,3 +339,26 @@ def test_stage_schema_constants_match_real_output(ray_session, tmp_path):
     assert SCORER_SCHEMA.names == CLUSTERS_SCHEMA.names + [
         "cluster_coentities", "cluster_tokens"
     ]
+
+
+def test_clusters_json_summary_row_gate(ray_session):
+    """The JSON summary is a driver-side debug view; above max_rows it must
+    refuse instead of materializing the full result on the driver."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.pipelines.linkage import clusters_json_summary
+
+    df = pd.DataFrame(
+        {
+            "block_key": ["b"] * 10,
+            "mention_id": [f"m{i}" for i in range(10)],
+            "cluster_id": ["c0"] * 5 + ["c1"] * 5,
+        }
+    )
+    ds = rd.from_pandas(df)
+    with pytest.raises(ValueError, match="max_rows"):
+        clusters_json_summary(ds, max_rows=5)
+    out = clusters_json_summary(ds, max_rows=10)
+    assert out["b"][0] == [f"m{i}" for i in range(5)]

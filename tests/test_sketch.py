@@ -133,3 +133,63 @@ def test_incremental_dedup_equals_exact_anti_join():
     ).to_pandas()
     expected = new[~new["text"].isin(set(snap_texts))]
     assert sorted(out["doc_id"]) == sorted(expected["doc_id"])
+
+
+# --------------------------------------------------------------------------
+# KLL quantile sketch
+# --------------------------------------------------------------------------
+
+
+def test_kll_rank_error_bound():
+    """Merged KLL sketch (20 partitions) stays within a few milli-quantiles
+    of the exact ranks on a continuous (unbounded-domain) distribution."""
+    import numpy as np
+
+    from hgcn_name_disambiguation_ray.stages.sketch import KLLSketch
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(0.0, 1.0, 200_000)
+    merged = KLLSketch(256)
+    for lo in range(0, len(x), 10_000):
+        part = KLLSketch(256)
+        part.add(x[lo : lo + 10_000])
+        merged.merge(part)
+    qs = np.array([0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+    est = merged.quantiles(qs)
+    xs = np.sort(x)
+    rank = np.searchsorted(xs, est, side="right") / len(x)
+    assert np.all(np.abs(rank - qs) * 1000 < 15)
+    assert merged.n == len(x)
+
+
+def test_kll_deterministic_and_serializable():
+    import numpy as np
+
+    from hgcn_name_disambiguation_ray.stages.sketch import KLLSketch
+
+    rng = np.random.default_rng(9)
+    x = rng.exponential(2.0, 50_000)
+    a, b = KLLSketch(128), KLLSketch(128)
+    a.add(x)
+    b.add(x)
+    qs = np.linspace(0.05, 0.95, 19)
+    assert np.array_equal(a.quantiles(qs), b.quantiles(qs))
+    rt = KLLSketch.from_bytes(a.to_bytes())
+    assert np.array_equal(rt.quantiles(qs), a.quantiles(qs))
+    assert rt.n == a.n
+
+
+def test_kll_quantiles_dataset_err_milli(ray_session):
+    """The Dataset-level kll_quantiles pins the exact rank error in-row;
+    the bound tests assert it stays < 15 milli."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.sketch import kll_quantiles
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({"v": rng.lognormal(1.0, 0.8, 60_000)})
+    out = kll_quantiles(rd.from_pandas(df).repartition(8), "v").to_pandas()
+    assert list(out["q_milli"]) == [100, 250, 500, 750, 900, 990]
+    assert (out["err_milli"] < 15).all()
