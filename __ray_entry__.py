@@ -742,12 +742,12 @@ def _q_sessionize(sf_dir: str):
 
 def _q_multimodal_features(sf_dir: str):
     """Multimodal pipeline over REAL image payloads — binary PPM, PNG
-    (stdlib-zlib codec, filters cycling 0-4) and baseline JPEG (pure
-    numpy Huffman+IDCT codec, 4:4:4 and 4:2:0 alternating) round-robin
-    by doc id — all decoded fake=False; the stub remains only for
-    progressive JPEG / MP4. Each payload is a deterministic per-doc
-    gradient image with varying dims, so decode/resize/featurize all do
-    real work."""
+    (stdlib-zlib codec, filters cycling 0-4) and JPEG (pure numpy
+    Huffman+IDCT codec; 4:4:4 and 4:2:0, baseline and PROGRESSIVE
+    multi-scan alternating) round-robin by doc id — all decoded
+    fake=False; the stub remains only for inter-frame video. Each
+    payload is a deterministic per-doc gradient image with varying
+    dims, so decode/resize/featurize all do real work."""
     from hgcn_name_disambiguation_ray.functions.jpeg import synth_jpeg
     from hgcn_name_disambiguation_ray.stages.multimodal import (
         decode_resize_featurize,
@@ -774,7 +774,14 @@ def _q_multimodal_features(sf_dir: str):
                 payloads.append(synth_png(img))
                 mimes.append("image/png")
             else:
-                payloads.append(synth_jpeg(img, quality=95, subsample=bool(i % 2)))
+                payloads.append(
+                    synth_jpeg(
+                        img,
+                        quality=95,
+                        subsample=bool(i % 2),
+                        progressive=bool(i % 4 == 2),
+                    )
+                )
                 mimes.append("image/jpeg")
         return pa.table(
             {

@@ -11,8 +11,8 @@ inflate + vectorized per-row unfilter, 8-bit gray/RGB/palette/alpha,
 RIFF/WAV PCM audio (stdlib `wave`); `AudioFeatures` computes genuine DSP
 (RMS, zero-crossing rate, FFT spectral centroid); and MJPEG-in-MP4 video
 (`functions/mp4.py` parses the ISO BMFF sample tables, frames decode via
-the JPEG codec). Only codecs with no stdlib path (progressive JPEG,
-inter-frame video codecs like H.264 — the container ships no
+the JPEG codec, baseline AND progressive). Only codecs with no stdlib
+path (inter-frame video codecs like H.264 — the container ships no
 imaging/video libraries) are stubbed: `DecodeImage` /
 `SampleFrames` raise NotImplementedError for them unless `fake=True`, in
 which case a clearly-marked deterministic fake derives pseudo pixels
@@ -107,8 +107,8 @@ class DecodeImage:
         if not self.fake:
             raise NotImplementedError(
                 "unrecognized image format (BMP, binary PPM, PNG and "
-                "baseline JPEG decode for real; progressive JPEG and "
-                "exotic formats do not); construct DecodeImage(fake=True) "
+                "baseline/progressive JPEG decode for real; exotic "
+                "formats do not); construct DecodeImage(fake=True) "
                 "for the deterministic stub"
             )
         rng = np.random.default_rng(stable_hash64(payload.hex() if payload else ""))

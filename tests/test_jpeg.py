@@ -167,3 +167,112 @@ def test_gray_and_color_paths_round_identically():
     g = decode_jpeg(gray_payload)
     c = decode_jpeg(color_payload)
     assert np.array_equal(g, c)
+
+
+# --------------------------------------------------------------------------
+# Progressive (SOF2): multi-scan spectral selection + successive approximation
+# --------------------------------------------------------------------------
+
+
+def test_progressive_matches_baseline_byte_exact():
+    """After all scans of the IJG script, the accumulated coefficients
+    equal the sequential encoding exactly, so progressive decode must be
+    byte-identical to baseline decode of the same pixels — across
+    sampling modes, gray, restart intervals and qualities."""
+    rng = np.random.default_rng(0)
+    img = _gradient(40, 56)
+    img[..., 2] = rng.integers(0, 256, img.shape[:2], dtype=np.uint8)
+    for kw in (
+        {},
+        {"subsample": True},
+        {"gray": True},
+        {"restart_interval": 3},
+        {"quality": 50},
+        {"subsample": True, "restart_interval": 2, "quality": 70},
+    ):
+        base = decode_jpeg(synth_jpeg(img, **kw))
+        prog = decode_jpeg(synth_jpeg(img, progressive=True, **kw))
+        assert np.array_equal(base, prog), kw
+
+
+def test_progressive_noise_and_odd_sizes():
+    """Noise stresses EOB runs + refinement correction bits; odd sizes
+    stress the non-interleaved component block geometry (luma block grid
+    narrower than the padded MCU grid when subsampled)."""
+    rng = np.random.default_rng(7)
+    for shape in ((1, 1), (7, 5), (17, 23), (33, 31)):
+        img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        for kw in ({}, {"subsample": True}):
+            base = decode_jpeg(synth_jpeg(img, **kw))
+            prog = decode_jpeg(synth_jpeg(img, progressive=True, **kw))
+            assert np.array_equal(base, prog), (shape, kw)
+
+
+def test_progressive_long_eob_runs():
+    """A flat image makes every AC band all-zero: the encoder accumulates
+    maximal EOBn runs, the decoder must count them down exactly."""
+    img = np.full((80, 96, 3), 77, dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(synth_jpeg(img)),
+        decode_jpeg(synth_jpeg(img, progressive=True)),
+    )
+
+
+def test_progressive_sof2_marker_present():
+    img = _gradient(16, 16)
+    payload = synth_jpeg(img, progressive=True)
+    assert b"\xff\xc2" in payload and b"\xff\xc0" not in payload
+    # multiple SOS markers (one per scan of the script)
+    assert payload.count(b"\xff\xda") >= 4
+
+
+def test_progressive_truncation_and_corruption_raise_valueerror():
+    rng = np.random.default_rng(3)
+    payload = synth_jpeg(
+        rng.integers(0, 256, (32, 32, 3), dtype=np.uint8), progressive=True
+    )
+    for cut in (len(payload) // 4, len(payload) // 2, 3 * len(payload) // 4):
+        with pytest.raises(ValueError):
+            decode_jpeg(payload[:cut])
+    for i in (30, 100, 200):
+        mut = bytearray(payload)
+        mut[i] ^= 0xFF
+        try:
+            decode_jpeg(bytes(mut))
+        except ValueError:
+            pass  # either a clean decode of a still-valid file or ValueError
+
+
+def test_dequant_uses_zigzag_permuted_table():
+    """Regression: the decoder must permute the natural-order quant table
+    into zigzag order before dequantizing the zigzag-ordered coefficient
+    grid. A high-frequency image exposes the mismatch (error explodes on
+    the old path); q=95 keeps the true JPEG loss small."""
+    x = np.indices((64, 64)).sum(axis=0)
+    img = ((np.sin(x * 1.3) * 80 + 128).clip(0, 255)).astype(np.uint8)
+    img = np.repeat(img[..., None], 3, axis=2)
+    out = decode_jpeg(synth_jpeg(img, quality=95))
+    d = np.abs(out.astype(int) - img.astype(int))
+    assert d.max() <= 10 and d.mean() <= 2.0
+
+
+def test_decode_image_dispatches_progressive(ray_session):
+    """DecodeImage must decode a progressive payload for REAL (fake=False)."""
+    import pyarrow as pa
+
+    from hgcn_name_disambiguation_ray.stages.multimodal import DecodeImage
+
+    img = _gradient(20, 24)
+    payload = synth_jpeg(img, progressive=True, quality=95)
+    t = pa.table(
+        {
+            "item_id": pa.array(["p1"]),
+            "payload": pa.array([payload], type=pa.binary()),
+            "mime": pa.array(["image/jpeg"]),
+            "width": pa.array([24], type=pa.int32()),
+            "height": pa.array([20], type=pa.int32()),
+        }
+    )
+    out = DecodeImage(fake=False)(t)
+    assert out.num_rows == 1
+    assert out["width"][0].as_py() == 24 and out["height"][0].as_py() == 20
