@@ -358,6 +358,78 @@ def run_segdedup_scale() -> None:
     }))
 
 
+# hot-key-at-volume demo: ONE ambiguous name ("John Smith at web scale")
+# carrying 100k mentions of 100 distinct persons — a single blocking key
+# that MUST salt (ceil(100000/256) ~ 391 salts at salt_cap=256) and then
+# merge correctly across salts. This is the skew case a web-scale corpus
+# guarantees; the planted truth lets us score the cross-salt merge.
+HOTKEY_SPEC = dict(
+    n_names=1, persons_per_name=100, docs_per_person=1000, hot_name_factor=1, seed=51
+)
+HOTKEY_FIXTURE_DIR = "/tmp/hgcn_ray_hotkey_fixture_v1"
+HOTKEY_SALT_CAP = 256
+
+
+def run_hotkey_scale() -> None:
+    """Linkage over a single 100k-mention hot block: wall time, salts
+    used, cross-salt merge precision/recall/F1 vs planted truth, and
+    driver peak RSS (the no-driver-blow-up evidence — the only
+    driver-side state on this path is the hot-cluster root map, bounded
+    by merged-cluster count, and the per-block score rows)."""
+    import resource
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import pyarrow.parquet as pq
+
+    from hgcn_name_disambiguation_ray.config import LinkageConfig
+    from hgcn_name_disambiguation_ray.pipelines.linkage import (
+        clusters_with_truth,
+        run_linkage,
+    )
+    from hgcn_name_disambiguation_ray.stages.evaluate import pairwise_scores
+
+    pages_path = _fixture(HOTKEY_SPEC, HOTKEY_FIXTURE_DIR)
+    _warm_file(pages_path)
+    truth = pq.read_table(os.path.join(HOTKEY_FIXTURE_DIR, "truth.parquet"))
+
+    t0 = time.time()
+    pages = rd.read_parquet(pages_path)
+    n_pages = pages.count()
+    clusters = run_linkage(pages, LinkageConfig(salt_cap=HOTKEY_SALT_CAP)).materialize()
+    n_out = clusters.count()
+    dt = time.time() - t0
+    assert n_out == n_pages
+
+    scores = pairwise_scores(clusters_with_truth(clusters, truth))
+    hot = scores[scores.block_key != "__macro__"].iloc[0]
+    n_clusters = clusters.select_columns(["cluster_id"]).groupby("cluster_id").count().count()
+    peak_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "hot-key linkage (one 100k-mention block, salted + cross-salt merge)",
+        "pages": int(n_pages),
+        "sec": round(dt, 3),
+        "pages_per_sec": round(n_pages / dt, 1),
+        "salt_cap": HOTKEY_SALT_CAP,
+        "n_salts": -(-int(n_pages) // HOTKEY_SALT_CAP),
+        "planted_persons": HOTKEY_SPEC["persons_per_name"],
+        "clusters_out": int(n_clusters),
+        "precision": round(float(hot["precision"]), 4),
+        "recall": round(float(hot["recall"]), 4),
+        "f1": round(float(hot["f1"]), 4),
+        "driver_peak_rss_mb": round(peak_rss_mb, 1),
+        "num_cpus": NUM_CPUS,
+    }))
+
+
 def run_scaling_job() -> None:
     """Child-process body: the linkage pipeline alone on the big scaling
     fixture, throughput printed as one JSON line."""
@@ -483,6 +555,8 @@ if __name__ == "__main__":
         run_dedup_scale()
     elif "--segdedup-scale" in sys.argv:
         run_segdedup_scale()
+    elif "--hotkey-scale" in sys.argv:
+        run_hotkey_scale()
     elif "--scaling" in sys.argv:
         run_scaling()
     else:
