@@ -1429,25 +1429,33 @@ def _q_audio_features(sf_dir: str):
 
 
 def _q_video_frames(sf_dir: str):
-    """REAL video frame sampling: per-doc MJPEG-in-MP4 payloads (frames
+    """REAL video frame sampling across BOTH in-engine video paths,
+    round-robin by doc id: even ids get MJPEG-in-MP4 payloads (frames
     encoded by the in-repo JPEG codec, muxed by functions/mp4.synth_mp4
-    with multi-chunk sample tables), demuxed and decoded fake=False by
-    SampleFrames — ISO BMFF stsd/stts/stsc/stsz/stco parse, mdat slice,
-    JPEG decode, all in-engine. no_oracle (container parsing + DCT are
-    not SQL-expressible), so the result carries a HARD integral signal
-    in-row: `match_direct` = 1 iff the pipeline's decoded pixels are
-    byte-identical to an independent decode_jpeg of the regenerated
-    source frame — any mux/demux offset error or codec divergence shows
-    up as 0. Pinned in tests/test_mp4.py."""
+    with multi-chunk sample tables, demuxed via the ISO BMFF
+    stsd/stts/stsc/stsz/stco parse), odd ids get animated GIF payloads
+    (true inter-frame delta coding: functions/gif.py LZW + disposal
+    compositing) — all decoded fake=False by SampleFrames. no_oracle
+    (container parsing + DCT/LZW are not SQL-expressible), so the
+    result carries a HARD integral signal in-row: `match_direct` = 1
+    iff the pipeline's decoded pixels are byte-identical to an
+    independently regenerated source frame (exact for GIF — lossless —
+    and exact vs decode_jpeg(synth_jpeg(...)) for MP4) — any
+    mux/demux offset error, compositing bug or codec divergence shows
+    up as 0. Pinned in tests/test_mp4.py and tests/test_gif.py."""
+    from hgcn_name_disambiguation_ray.functions.gif import synth_gif
     from hgcn_name_disambiguation_ray.functions.jpeg import decode_jpeg, synth_jpeg
     from hgcn_name_disambiguation_ray.functions.mp4 import synth_mp4
     from hgcn_name_disambiguation_ray.stages.multimodal import sample_frames
 
-    n_src, k = 6, 3  # 6 muxed frames, sample 3 -> source indices 1, 3, 5
+    n_src, k = 6, 3  # 6 source frames, sample 3 -> source indices 1, 3, 5
 
     def frame_img(doc_id: int, fi: int) -> "np.ndarray":
         w, h = 16 + int(doc_id % 5), 16 + int(doc_id % 3)
         y, x = np.mgrid[0:h, 0:w]
+        if doc_id % 2:  # GIF payloads are palettized: 16-gray pattern
+            g = ((x * 3 + y * 5 + fi * 7 + doc_id) % 16 * 17).astype(np.uint8)
+            return np.stack([g, g, g], axis=-1)
         return np.stack(
             [(x * 5 + doc_id + fi * 17) % 256, (y * 9 + fi * 3) % 256, (x + y + fi * 29) % 256],
             axis=-1,
@@ -1456,17 +1464,24 @@ def _q_video_frames(sf_dir: str):
     def to_videos(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["doc_id"].to_pandas(), dtype=np.int64)
         payloads = []
+        mimes = []
         for i in ids:
-            frames = [synth_jpeg(frame_img(int(i), fi), quality=92) for fi in range(n_src)]
-            payloads.append(
-                synth_mp4(frames, width=16 + int(i % 5), height=16 + int(i % 3),
-                          fps=5, timescale=1000, frames_per_chunk=2)
-            )
+            srcs = [frame_img(int(i), fi) for fi in range(n_src)]
+            if i % 2:
+                payloads.append(synth_gif(np.stack(srcs), delays_ms=[200] * n_src))
+                mimes.append("image/gif")
+            else:
+                frames = [synth_jpeg(s, quality=92) for s in srcs]
+                payloads.append(
+                    synth_mp4(frames, width=16 + int(i % 5), height=16 + int(i % 3),
+                              fps=5, timescale=1000, frames_per_chunk=2)
+                )
+                mimes.append("video/mp4")
         return pa.table(
             {
                 "item_id": pa.array([f"vid-{i}" for i in ids], type=pa.string()),
                 "payload": pa.array(payloads, type=pa.binary()),
-                "mime": pa.array(["video/mp4"] * len(ids), type=pa.string()),
+                "mime": pa.array(mimes, type=pa.string()),
                 "duration_ms": pa.array(np.full(len(ids), n_src * 200, dtype=np.int32)),
                 "width": pa.array((16 + ids % 5).astype(np.int32)),
                 "height": pa.array((16 + ids % 3).astype(np.int32)),
@@ -1485,7 +1500,10 @@ def _q_video_frames(sf_dir: str):
         sums = []
         for doc_id, j, p in zip(ids, fidx, pix):
             src = (n_src * (2 * j + 1)) // (2 * k)  # the sampled source index
-            direct = decode_jpeg(synth_jpeg(frame_img(doc_id, src), quality=92)).reshape(-1)
+            if doc_id % 2:  # GIF is lossless: exact source-frame equality
+                direct = frame_img(doc_id, src).reshape(-1)
+            else:
+                direct = decode_jpeg(synth_jpeg(frame_img(doc_id, src), quality=92)).reshape(-1)
             got = np.asarray(p, dtype=np.uint8)
             match.append(int(len(got) == len(direct) and np.array_equal(got, direct)))
             sums.append(int(got.sum()))

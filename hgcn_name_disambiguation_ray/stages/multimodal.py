@@ -6,18 +6,20 @@ batch sizes for wide rows, actor-pool stage shape, output layout — is
 real and tested. Decode is REAL with no external library for: 24-bit BMP
 and binary PPM images (pure-numpy parsers below), PNG (stdlib zlib
 inflate + vectorized per-row unfilter, 8-bit gray/RGB/palette/alpha,
-`decode_png` below), baseline JPEG (pure-numpy Huffman + IDCT,
-`functions/jpeg.py` — gray/4:4:4/4:2:2/4:2:0, restart intervals), and
-RIFF/WAV PCM audio (stdlib `wave`); `AudioFeatures` computes genuine DSP
-(RMS, zero-crossing rate, FFT spectral centroid); and MJPEG-in-MP4 video
-(`functions/mp4.py` parses the ISO BMFF sample tables, frames decode via
-the JPEG codec, baseline AND progressive). Only codecs with no stdlib
-path (inter-frame video codecs like H.264 — the container ships no
-imaging/video libraries) are stubbed: `DecodeImage` /
-`SampleFrames` raise NotImplementedError for them unless `fake=True`, in
-which case a clearly-marked deterministic fake derives pseudo pixels
-from the payload hash so downstream stages (resize / feature-extract /
-frame-sample) stay exercised end-to-end.
+`decode_png` below), JPEG (pure-numpy Huffman + IDCT,
+`functions/jpeg.py` — gray/4:4:4/4:2:2/4:2:0, restart intervals,
+baseline AND progressive SOF2), GIF including animation
+(`functions/gif.py` — LZW, interlace, transparency, disposal
+compositing), and RIFF/WAV PCM audio (stdlib `wave`); `AudioFeatures`
+computes genuine DSP (RMS, zero-crossing rate, FFT spectral centroid);
+and video as MJPEG-in-MP4 (`functions/mp4.py` parses the ISO BMFF
+sample tables, frames decode via the JPEG codec) or animated GIF (true
+inter-frame delta decode). Only modern inter-frame codecs (H.264 /
+HEVC / VP9 — the container ships no video libraries) are stubbed:
+`DecodeImage` / `SampleFrames` raise NotImplementedError for them
+unless `fake=True`, in which case a clearly-marked deterministic fake
+derives pseudo pixels from the payload hash so downstream stages
+(resize / feature-extract / frame-sample) stay exercised end-to-end.
 """
 
 from __future__ import annotations
@@ -95,6 +97,10 @@ class DecodeImage:
             from hgcn_name_disambiguation_ray.functions.jpeg import decode_jpeg
 
             real = decode_jpeg
+        elif payload.startswith((b"GIF87a", b"GIF89a")):
+            from hgcn_name_disambiguation_ray.functions.gif import decode_gif_first
+
+            real = decode_gif_first
         if real is not None:
             try:
                 return real(payload)
@@ -106,7 +112,7 @@ class DecodeImage:
                     raise
         if not self.fake:
             raise NotImplementedError(
-                "unrecognized image format (BMP, binary PPM, PNG and "
+                "unrecognized image format (BMP, binary PPM, PNG, GIF and "
                 "baseline/progressive JPEG decode for real; exotic "
                 "formats do not); construct DecodeImage(fake=True) "
                 "for the deterministic stub"
@@ -250,11 +256,15 @@ class SampleFrames:
     parses the ISO BMFF sample tables (stsd/stts/stsc/stsz/stco, pure
     stdlib struct + numpy), n evenly-spaced samples are sliced straight
     out of the mdat by their table offsets, and each sampled frame is
-    decoded with the in-repo baseline JPEG codec. Timestamps come from
-    the real stts table. Inter-frame codecs (avc1/hev1/vp09...) have no
-    stdlib decode path: with `fake=True` such payloads — and non-MP4
-    payloads — get a deterministic per-(payload, timestamp) stub frame
-    so pipeline shape stays testable; with `fake=False` they raise."""
+    decoded with the in-repo JPEG codec (baseline or progressive).
+    Timestamps come from the real stts table. Animated GIF also decodes
+    for REAL (`functions/gif.py`): genuine inter-frame delta coding via
+    LZW rasters composited with GIF89a disposal semantics; timestamps
+    from the frame delays. Modern inter-frame codecs (avc1/hev1/vp09...)
+    have no stdlib decode path: with `fake=True` such payloads — and
+    non-MP4/GIF payloads — get a deterministic per-(payload, timestamp)
+    stub frame so pipeline shape stays testable; with `fake=False` they
+    raise."""
 
     def __init__(self, n_frames: int = 4, fake: bool = False, channels: int = 3):
         self.n_frames = n_frames
@@ -266,9 +276,26 @@ class SampleFrames:
         rng = np.random.default_rng(seed)
         return rng.integers(0, 256, size=(height, width, self.channels), dtype=np.uint8)
 
+    def _sample_gif(self, payload: bytes) -> tuple[np.ndarray, list[np.ndarray]]:
+        """Animated GIF -> (ts_ms[k], composited frames): a REAL
+        inter-frame decode (LZW rasters + disposal compositing,
+        functions/gif.py); timestamps are the cumulative frame delays."""
+        from hgcn_name_disambiguation_ray.functions.gif import decode_gif
+
+        r = decode_gif(payload)
+        all_frames = r["frames"]
+        n_s = len(all_frames)
+        k = self.n_frames
+        j = np.arange(k, dtype=np.int64)
+        idx = np.minimum((n_s * (2 * j + 1)) // (2 * k), n_s - 1)
+        starts = np.concatenate([[0], np.cumsum(r["delays_ms"])[:-1]])
+        return starts[idx], [all_frames[int(i)] for i in idx]
+
     def _sample_real(self, payload: bytes) -> tuple[np.ndarray, list[np.ndarray]] | None:
-        """MP4 payload -> (ts_ms[k], decoded frames) via the real demuxer;
-        None if this payload should fall through to the stub path."""
+        """MP4 / GIF payload -> (ts_ms[k], decoded frames) via the real
+        demuxer or GIF compositor; None if this payload should fall
+        through to the stub path."""
+        from hgcn_name_disambiguation_ray.functions.gif import is_gif
         from hgcn_name_disambiguation_ray.functions.jpeg import decode_jpeg
         from hgcn_name_disambiguation_ray.functions.mp4 import (
             demux_mp4,
@@ -276,12 +303,21 @@ class SampleFrames:
             mp4_sample_bytes,
         )
 
+        if is_gif(payload):
+            try:
+                return self._sample_gif(payload)
+            except ValueError:
+                # GIF magic on a corrupt/crawl payload: same contract as MP4
+                if self.fake:
+                    return None
+                raise
         if not is_mp4(payload):
             if self.fake:
                 return None
             raise NotImplementedError(
-                "not an ISO BMFF payload; only MJPEG-in-MP4 decodes for "
-                "real — construct SampleFrames(fake=True) for the stub"
+                "not an ISO BMFF or GIF payload; only MJPEG-in-MP4 and "
+                "animated GIF decode for real — construct "
+                "SampleFrames(fake=True) for the stub"
             )
         import struct
 
