@@ -774,12 +774,15 @@ def _q_multimodal_features(sf_dir: str):
                 payloads.append(synth_png(img))
                 mimes.append("image/png")
             else:
+                # (i//6)%2 alternates progressive across BOTH parities of i,
+                # so progressive x {4:4:4, 4:2:0} all occur (i%3==2 rows
+                # alternate even/odd; i%4-style masks collapse to one parity)
                 payloads.append(
                     synth_jpeg(
                         img,
                         quality=95,
                         subsample=bool(i % 2),
-                        progressive=bool(i % 4 == 2),
+                        progressive=bool((i // 6) % 2),
                     )
                 )
                 mimes.append("image/jpeg")

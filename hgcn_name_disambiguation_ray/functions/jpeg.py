@@ -736,26 +736,14 @@ def _decode_block(
     """One block of entropy decode -> (64 quantized coefs in zigzag order,
     new DC predictor)."""
     out = np.zeros(64, dtype=np.int64)
-    sym_t, len_t = dc_lut
-    v = br.peek16()
-    length = int(len_t[v])
-    if length == 0:
-        raise ValueError("corrupt JPEG (invalid DC Huffman code)")
-    br.pos += length
-    s = int(sym_t[v])
+    s = _read_huff(br, dc_lut)
     if s > 15:
         raise ValueError("corrupt JPEG (DC category > 15)")
     dc = pred + (_extend(br.read(s), s) if s else 0)
     out[0] = dc
-    sym_t, len_t = ac_lut
     k = 1
     while k < 64:
-        v = br.peek16()
-        length = int(len_t[v])
-        if length == 0:
-            raise ValueError("corrupt JPEG (invalid AC Huffman code)")
-        br.pos += length
-        rs = int(sym_t[v])
+        rs = _read_huff(br, ac_lut)
         r, s = rs >> 4, rs & 0x0F
         if s == 0:
             if r == 15:  # ZRL

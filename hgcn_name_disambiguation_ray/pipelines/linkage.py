@@ -493,6 +493,9 @@ def clusters_json_summary(clusters: Dataset, max_rows: int = 100_000) -> dict:
     outputs / debugging only — the parquet sink is the scale path, and
     this raises rather than silently pulling a web-scale result onto the
     driver: callers must pass an explicit larger `max_rows` to override."""
+    # materialize once: count() would otherwise execute the lazy lineage
+    # for the gate and the groupby below would execute it a second time
+    clusters = clusters.materialize()
     n = clusters.count()
     if n > max_rows:
         raise ValueError(

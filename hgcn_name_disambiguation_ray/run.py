@@ -42,6 +42,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--word2vec-path", default=None)
     p.add_argument("--summary-json", default=None,
                    help="also write the reference-shaped JSON cluster summary here")
+    p.add_argument("--summary-max-rows", type=int, default=100_000,
+                   help="refuse to build the driver-side JSON summary above "
+                        "this many cluster rows (the partitioned parquet "
+                        "output is the scale path); raise deliberately to "
+                        "override")
     args = p.parse_args(argv)
 
     if args.lookup is not None:
@@ -142,11 +147,24 @@ def main(argv: list[str] | None = None) -> int:
             )
         write_clusters(clusters, args.output)
         elapsed = time.time() - t0
+        summary_skipped = None
         if args.summary_json:
-            summary = clusters_json_summary(rd.read_parquet(args.output))
-            with open(args.summary_json, "w") as f:
-                json.dump(summary, f)
-        print(json.dumps({"output": args.output, "wall_seconds": round(elapsed, 2)}))
+            try:
+                summary = clusters_json_summary(
+                    rd.read_parquet(args.output), max_rows=args.summary_max_rows
+                )
+            except ValueError as e:
+                # the linkage output (hours of work at scale) is already
+                # safely on disk — report the refusal instead of dying
+                summary_skipped = str(e)
+                print(f"warning: summary-json skipped: {e}", file=sys.stderr)
+            else:
+                with open(args.summary_json, "w") as f:
+                    json.dump(summary, f)
+        out = {"output": args.output, "wall_seconds": round(elapsed, 2)}
+        if summary_skipped is not None:
+            out["summary_json_skipped"] = summary_skipped
+        print(json.dumps(out))
         return 0
     finally:
         if owns_session:

@@ -400,6 +400,9 @@ def kll_quantiles(
         vals, cnts = np.unique(x[~np.isnan(x)], return_counts=True)
         return pa.table({"value": pa.array(vals), "cnt": pa.array(cnts.astype(np.int64))})
 
+    # materialize the single projected column once: the sketch pass and the
+    # exact-CDF pass below would otherwise each re-execute the upstream
+    ds = ds.select_columns([col]).materialize()
     sk = kll_sketch(ds, col, k)
     q_arr = np.asarray(qs, dtype=np.float64)
     est = sk.quantiles(q_arr)

@@ -94,3 +94,33 @@ def test_cli_lookup_reads_only_the_keys_partition(tmp_path, capsys):
     assert rc == 0
     js = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert sorted(sum(js[key].values(), [])) == sorted(expect["mention_id"])
+
+
+def test_cli_summary_gate_skips_not_crashes(tmp_path, capsys):
+    """Above --summary-max-rows the CLI must finish (linkage output is
+    already on disk), skip the driver-side JSON summary with a warning,
+    and report the skip in its final JSON line — never die after the
+    expensive work (review finding, round 5)."""
+    from hgcn_name_disambiguation_ray.fixtures import FixtureSpec, write_fixture
+    from hgcn_name_disambiguation_ray.run import main
+
+    paths = write_fixture(
+        FixtureSpec(n_names=2, persons_per_name=2, docs_per_person=6),
+        str(tmp_path / "fixture"),
+    )
+    out = str(tmp_path / "clusters")
+    summary = str(tmp_path / "summary.json")
+    rc = main(
+        [
+            "--input", paths["pages"],
+            "--output", out,
+            "--summary-json", summary,
+            "--summary-max-rows", "5",  # far below the fixture's row count
+        ]
+    )
+    assert rc == 0
+    assert not os.path.exists(summary)
+    captured = capsys.readouterr()
+    last = json.loads(captured.out.strip().splitlines()[-1])
+    assert "summary_json_skipped" in last and "max_rows" in last["summary_json_skipped"]
+    assert os.path.isdir(out)  # the linkage output itself survived
