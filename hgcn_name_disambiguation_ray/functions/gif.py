@@ -117,6 +117,8 @@ def _lzw_encode(min_code_size: int, indices: np.ndarray) -> bytes:
     next_code = eoi + 1
     emit(clear, code_size)
     w = b""
+    # tobytes() on a wider dtype would silently emit per-byte garbage
+    indices = np.ascontiguousarray(indices, dtype=np.uint8)
     for c in indices.tobytes():
         wc = w + bytes([c])
         if wc in table:

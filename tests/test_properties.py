@@ -160,3 +160,90 @@ def test_shingle_hashes_match_scalar_reference(docs, n):
         elif len(th):
             want = [mix(th)]
         assert list(got_vals[got_off[i]:got_off[i + 1]]) == want, i
+
+
+# -- GIF LZW: encode/decode are exact inverses over generated rasters --------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=8),
+    st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=600),
+)
+def test_gif_lzw_roundtrip(min_code_size, vals):
+    from hgcn_name_disambiguation_ray.functions.gif import _lzw_decode, _lzw_encode
+
+    idx = (np.asarray(vals, dtype=np.int64) % (1 << min_code_size)).astype(np.uint8)
+    data = _lzw_encode(min_code_size, idx)
+    out = _lzw_decode(min_code_size, data, len(idx))
+    assert np.array_equal(out, idx)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=2, max_value=16),
+    st.randoms(use_true_random=False),
+)
+def test_gif_full_roundtrip_lossless(n, h, w, n_colors, rnd):
+    """synth_gif -> decode_gif is the identity for any palette-bounded
+    animation (GIF is lossless)."""
+    from hgcn_name_disambiguation_ray.functions.gif import decode_gif, synth_gif
+
+    rng = np.random.default_rng(rnd.randrange(1 << 30))
+    palette = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+    frames = palette[rng.integers(0, n_colors, (n, h, w))]
+    out = decode_gif(synth_gif(frames))
+    assert np.array_equal(out["frames"], frames)
+
+
+# -- progressive JPEG: always byte-identical to baseline ---------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.booleans(),
+    st.integers(min_value=30, max_value=95),
+    st.randoms(use_true_random=False),
+)
+def test_progressive_jpeg_equals_baseline(h, w, subsample, quality, rnd):
+    from hgcn_name_disambiguation_ray.functions.jpeg import decode_jpeg, synth_jpeg
+
+    rng = np.random.default_rng(rnd.randrange(1 << 30))
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    base = decode_jpeg(synth_jpeg(img, quality=quality, subsample=subsample))
+    prog = decode_jpeg(
+        synth_jpeg(img, quality=quality, subsample=subsample, progressive=True)
+    )
+    assert np.array_equal(base, prog)
+
+
+# -- KLL: estimates always within the k=256 error bound ----------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=500, max_value=20_000),
+    st.integers(min_value=1, max_value=16),
+    st.randoms(use_true_random=False),
+)
+def test_kll_error_bound_generated(n, n_parts, rnd):
+    from hgcn_name_disambiguation_ray.stages.sketch import KLLSketch
+
+    rng = np.random.default_rng(rnd.randrange(1 << 30))
+    x = rng.lognormal(0.0, 1.0, n)
+    merged = KLLSketch(256)
+    for part in np.array_split(x, n_parts):
+        sk = KLLSketch(256)
+        sk.add(part)
+        merged.merge(sk)
+    qs = np.array([0.1, 0.5, 0.9])
+    est = merged.quantiles(qs)
+    xs = np.sort(x)
+    rank = np.searchsorted(xs, est, side="right") / n
+    assert np.all(np.abs(rank - qs) < 0.02)
+    assert merged.n == n
