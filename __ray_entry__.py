@@ -1373,6 +1373,19 @@ def _q_kll_quantiles(sf_dir: str):
     return kll_quantiles(vals, "mean_tok_len")
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Tokens exceeding 1/50 of the corpus token mass, found by the
+    Misra-Gries candidate sketch + exact verify pass — NO full token
+    shuffle (the scale path next to `vocabulary_counts`' exact groupby).
+    The sketch guarantee (no item above total/(k+1) can be missed) plus
+    the exact verification makes the output literally the SQL
+    HAVING-count set, so this sketch-powered operator carries a full
+    value-hash oracle."""
+    from hgcn_name_disambiguation_ray.stages.sketch import heavy_hitters
+
+    return heavy_hitters(_docs(sf_dir, columns=["doc_id", "text"]), k=50)
+
+
 def _q_token_freq_score(sf_dir: str):
     """Mean corpus-frequency of each doc's tokens (integer-exact LM-
     perplexity stand-in for crawl quality filtering); a composition of
@@ -1686,10 +1699,11 @@ def _q_linkage_arnetminer_artifact(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract: the driver verifies the FIRST 50 dict entries against
-    # oracle_sql().  50 of the 51 oracle-bearing queries come first (the
-    # window is exactly full); token_count — driver-verified hash-exact in
-    # rounds 1, 2 and 3 — rotates out to admit json_props_stats, so every
-    # oracle-bearing query has driver evidence in at least one round.
+    # oracle_sql().  50 of the 52 oracle-bearing queries come first (the
+    # window is exactly full); token_count (driver-verified hash-exact in
+    # rounds 1-3) and lang_agg (driver-verified in rounds 1, 2, 3 AND 4)
+    # rotate out to admit json_props_stats (r4) and heavy_hitters (r5), so
+    # every oracle-bearing query has driver evidence in at least one round.
     # no_oracle queries follow, led by the two highest-signal ones (the
     # Arnetminer artifact regime and the IVF index, both of which carry hard
     # in-row signals pinned by tests).
@@ -1698,7 +1712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_tokens": _q_normalize_tokens,
         "exact_dedup": _q_exact_dedup,
         "dedup_corpus": _q_dedup_corpus,
-        "lang_agg": _q_lang_agg,
+        "heavy_hitters": _q_heavy_hitters,
         "cooccur_pairs": _q_cooccur_pairs,
         "blocking_keys": _q_blocking_keys,
         "shared_token_pairs": _q_shared_token_pairs,
@@ -1745,11 +1759,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_latest_event": _q_asof_latest_event,
         "range_week_events": _q_range_week_events,
         # --- past the driver's 50-query window ---
-        # token_count keeps its oracle but rotates out of the window to admit
-        # json_props_stats: it is driver-verified hash-exact in rounds 1, 2
-        # AND 3 (CORRECTNESS_r0{1,2,3}.json), and tools/check_queries.py still
-        # verifies it locally at both scales every round.
+        # token_count and lang_agg keep their oracles but rotate out of the
+        # window (token_count driver-verified hash-exact in rounds 1-3,
+        # lang_agg in rounds 1-4 — CORRECTNESS_r0{1..4}.json);
+        # tools/check_queries.py still verifies both locally at both scales
+        # every round.
         "token_count": _q_token_count,
+        "lang_agg": _q_lang_agg,
         # no_oracle queries follow, the two
         # highest-signal ones (hard in-row signals, pinned by tests) first ---
         "linkage_arnetminer_artifact": _q_linkage_arnetminer_artifact,
@@ -1790,6 +1806,16 @@ def oracle_sql() -> dict[str, str]:
         "lang_agg": (
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY lang"
+        ),
+        "heavy_hitters": (
+            # exact heavy-hitter set: count(*) * k > total token count —
+            # precisely what the MG-candidates + exact-verify pass returns
+            "WITH toks AS (SELECT unnest(list_filter(string_split("
+            "regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), "
+            "x -> length(x) > 0)) AS token FROM documents), "
+            "tot AS (SELECT count(*) AS n FROM toks) "
+            "SELECT token, count(*) AS cnt FROM toks GROUP BY token "
+            "HAVING count(*) * 50 > (SELECT n FROM tot) ORDER BY token"
         ),
         "cooccur_pairs": (
             "WITH d AS (SELECT DISTINCT o_orderdate, o_custkey FROM orders) "

@@ -434,3 +434,135 @@ def kll_quantiles(
             "err_milli": pa.array(np.abs(exact_rank_milli - q_milli).astype(np.int64)),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters: candidates by sketch, verdict by exact count
+# --------------------------------------------------------------------------
+#
+# The scale path for "which tokens exceed n/k of the corpus": a full
+# token groupby (`vocabulary`) shuffles every distinct token; this runs
+# two shuffle-free passes instead. Pass 1 folds each batch into a
+# k-counter Misra-Gries summary (1982; merge rule from Agarwal/Cormode
+# et al., "Mergeable Summaries", PODS 2012: sum counters, subtract the
+# (k+1)-th largest, keep positives — every subtraction round removes
+# >= (k+1) x the subtracted value of mass, so total undercount <=
+# n/(k+1) and every item with true count > n/(k+1) SURVIVES). Pass 2
+# broadcasts the <= k candidates and counts them exactly, so the output
+# is precisely the SQL `HAVING count(*) * k > total` set — sketch
+# proposes, exact count decides; the guarantee just rules out false
+# negatives. Driver state is O(n_blocks * k), same contract as HLL.
+
+
+class MisraGries:
+    """Deterministic mergeable heavy-hitters summary with k counters."""
+
+    __slots__ = ("k", "counts")
+
+    def __init__(self, k: int) -> None:
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.k = int(k)
+        self.counts: dict[str, int] = {}
+
+    def add_counts(self, tokens: list[str], counts: np.ndarray) -> None:
+        """Fold pre-aggregated (token, count) pairs (e.g. one batch's
+        exact histogram) into the summary, then reduce to k counters."""
+        for t, c in zip(tokens, counts.tolist()):
+            self.counts[t] = self.counts.get(t, 0) + int(c)
+        self._reduce()
+
+    def merge(self, other: "MisraGries") -> None:
+        if other.k != self.k:
+            raise ValueError("cannot merge summaries with different k")
+        for t, c in other.counts.items():
+            self.counts[t] = self.counts.get(t, 0) + c
+        self._reduce()
+
+    def _reduce(self) -> None:
+        if len(self.counts) <= self.k:
+            return
+        vals = sorted(self.counts.values(), reverse=True)
+        thresh = vals[self.k]  # the (k+1)-th largest counter
+        self.counts = {t: c - thresh for t, c in self.counts.items() if c > thresh}
+
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps({"k": self.k, "counts": self.counts})
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "MisraGries":
+        import pickle
+
+        d = pickle.loads(raw)
+        sk = cls(d["k"])
+        sk.counts = d["counts"]
+        return sk
+
+
+def heavy_hitters(
+    ds: Dataset,
+    text_col: str = "text",
+    k: int = 50,
+) -> pa.Table:
+    """Tokens whose exact corpus count exceeds total/k, found WITHOUT a
+    full token shuffle: Misra-Gries candidate pass (one small sketch row
+    per batch, O(n_blocks*k) driver merge), then an exact verify pass
+    over only the <= k candidates (broadcast lookup, tiny groupby).
+    Returns (token, cnt) sorted by token — exactly the SQL
+    `GROUP BY token HAVING count(*) * k > total` result."""
+    from ray.data.aggregate import Sum
+
+    from hgcn_name_disambiguation_ray.functions.text import split_ws_flat
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        flat, _offsets = split_ws_flat(t[text_col], lower=True)
+        sk = MisraGries(k)
+        if len(flat):
+            toks, cnts = np.unique(flat.astype(str), return_counts=True)
+            sk.add_counts(toks.tolist(), cnts)
+        return pa.table(
+            {
+                "sketch": pa.array([sk.to_bytes()], pa.binary()),
+                "n": pa.array([int(len(flat))], pa.int64()),
+            }
+        )
+
+    ds = ds.select_columns([text_col]).materialize()  # two passes below
+    merged = MisraGries(k)
+    total = 0
+    for row in ds.map_batches(per_batch, batch_format="pyarrow").take_all():
+        merged.merge(MisraGries.from_bytes(row["sketch"]))
+        total += int(row["n"])
+    if not merged.counts or total == 0:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+
+    # exact verify: candidates broadcast once, counted vectorized per batch
+    cand_ref = ray.put(np.sort(np.asarray(list(merged.counts), dtype=object)))
+
+    def count_cands(t: pa.Table) -> pa.Table:
+        cands = ray.get(cand_ref)
+        flat, _offsets = split_ws_flat(t[text_col], lower=True)
+        out = np.zeros(len(cands), dtype=np.int64)
+        if len(flat):
+            toks, cnts = np.unique(flat.astype(str), return_counts=True)
+            pos = np.searchsorted(cands, toks)
+            ok = (pos < len(cands)) & (cands[pos.clip(0, len(cands) - 1)] == toks)
+            np.add.at(out, pos[ok], cnts[ok])
+        return pa.table({"token": pa.array(cands.astype(str)), "cnt": pa.array(out)})
+
+    exact = (
+        ds.map_batches(count_cands, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # <= k rows
+    )
+    hot = exact[exact["cnt"] * k > total].sort_values("token")
+    return pa.table(
+        {
+            "token": pa.array(hot["token"].tolist(), pa.string()),
+            "cnt": pa.array(hot["cnt"].astype(np.int64).tolist(), pa.int64()),
+        }
+    )

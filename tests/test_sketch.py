@@ -193,3 +193,113 @@ def test_kll_quantiles_dataset_err_milli(ray_session):
     out = kll_quantiles(rd.from_pandas(df).repartition(8), "v").to_pandas()
     assert list(out["q_milli"]) == [100, 250, 500, 750, 900, 990]
     assert (out["err_milli"] < 15).all()
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# --------------------------------------------------------------------------
+
+
+def test_misra_gries_no_false_negatives():
+    """The defining guarantee: any item with true count > n/(k+1) must
+    survive the summary — across partitioned adds and merges, on a skewed
+    stream designed to trigger many reduce rounds."""
+    import numpy as np
+
+    from hgcn_name_disambiguation_ray.stages.sketch import MisraGries
+
+    rng = np.random.default_rng(5)
+    k = 10
+    # 6 heavy items (10% each = 60% > each's n/(k+1) = n/11 bound) + tail
+    heavy = [f"H{i}" for i in range(6)]
+    n = 20_000
+    stream = list(rng.choice([f"t{j}" for j in range(5_000)], size=int(n * 0.40)))
+    for h in heavy:
+        stream += [h] * int(n * 0.10)
+    rng.shuffle(stream)
+    merged = MisraGries(k)
+    for lo in range(0, len(stream), 1_000):
+        part = MisraGries(k)
+        chunk = np.asarray(stream[lo : lo + 1_000])
+        toks, cnts = np.unique(chunk, return_counts=True)
+        part.add_counts(toks.tolist(), cnts)
+        merged.merge(part)
+    assert len(merged.counts) <= k
+    total = len(stream)
+    for h in heavy:
+        true = stream.count(h)
+        assert h in merged.counts, f"heavy item {h} evicted (guarantee broken)"
+        # residual counter never exceeds the true count and is within n/(k+1)
+        assert merged.counts[h] <= true
+        assert true - merged.counts[h] <= total // (k + 1) + 1
+
+
+def test_misra_gries_merge_partition_invariant_candidates():
+    """Planted heavy items survive regardless of how the stream is
+    partitioned before merging."""
+    import numpy as np
+
+    from hgcn_name_disambiguation_ray.stages.sketch import MisraGries
+
+    rng = np.random.default_rng(11)
+    stream = ["hot"] * 3_000 + ["warm"] * 2_000 + list(
+        rng.choice([f"x{j}" for j in range(800)], size=5_000)
+    )
+    rng.shuffle(stream)
+    survivors = []
+    for n_parts in (1, 3, 17):
+        merged = MisraGries(8)
+        for chunk in np.array_split(np.asarray(stream), n_parts):
+            part = MisraGries(8)
+            toks, cnts = np.unique(chunk, return_counts=True)
+            part.add_counts(toks.tolist(), cnts)
+            merged.merge(part)
+        assert "hot" in merged.counts and "warm" in merged.counts
+        survivors.append({"hot", "warm"} <= set(merged.counts))
+    assert all(survivors)
+
+
+def test_heavy_hitters_equals_exact_having(ray_session):
+    """heavy_hitters == the exact GROUP BY / HAVING cnt*k > total set, on
+    a skewed corpus where the tail would drown a naive top-k."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.default_rng(3)
+    docs = []
+    for i in range(400):
+        toks = list(rng.choice([f"w{j}" for j in range(2_000)], size=30))
+        if i % 2 == 0:
+            toks += ["Alpha"] * 3  # lowercases to 'alpha'
+        if i % 5 == 0:
+            toks += ["beta"] * 6
+        docs.append(" ".join(toks))
+    ds = rd.from_pandas(pd.DataFrame({"text": docs})).repartition(8)
+    out = heavy_hitters(ds, k=40).to_pandas()
+    # exact reference
+    all_toks = pd.Series(" ".join(docs).lower().split())
+    counts = all_toks.value_counts()
+    expect = counts[counts * 40 > len(all_toks)].sort_index()
+    assert list(out["token"]) == list(expect.index)
+    assert list(out["cnt"]) == list(expect.values)
+
+
+def test_heavy_hitters_empty_and_no_hitters(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.stages.sketch import heavy_hitters
+
+    empty = rd.from_pandas(pd.DataFrame({"text": pd.Series([], dtype=str)}))
+    assert heavy_hitters(empty, k=10).num_rows == 0
+    # perfectly uniform corpus: nothing exceeds n/k
+    rng = np.random.default_rng(7)
+    toks = np.repeat([f"u{j}" for j in range(500)], 4)
+    rng.shuffle(toks)
+    docs = [" ".join(toks[i : i + 20]) for i in range(0, len(toks), 20)]
+    ds = rd.from_pandas(pd.DataFrame({"text": docs}))
+    assert heavy_hitters(ds, k=10).num_rows == 0
