@@ -1,0 +1,264 @@
+"""WARC source (ISO 28500) — the Common Crawl container format.
+
+The engine's north-star input is a Common-Crawl-style pages table
+(url, warc_ts, html, ...); this module closes the loop from the actual
+crawl archives to that table with no external library: stdlib zlib
+handles the member-per-record gzip layout Common Crawl ships
+(`.warc.gz` / `.warc.wet.gz` are CONCATENATED gzip members, one per
+record, so archives are splittable at member boundaries), and the WARC
+record grammar is a CRLF header block + Content-Length payload.
+
+`read_warc` is Ray-Data-first: `ray.data.read_binary_files` over the
+archive paths (each file one row — Common Crawl segments are ~1 GB, the
+natural block unit), then a `map_batches` that parses records and emits
+one row per response/conversion record with the pages-table shape. At
+256-node scale the file listing is the partitioning; no shuffle anywhere.
+
+`synth_warc` writes spec-shaped archives (warcinfo record + per-record
+gzip members, WARC/1.0 headers) so tests and the oracle query can round
+trip without external data.
+"""
+
+from __future__ import annotations
+
+import zlib
+from datetime import datetime, timezone
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+_GZ_MAGIC = b"\x1f\x8b"
+
+
+def gunzip_members(data: bytes) -> bytes:
+    """Decompress a stream of CONCATENATED gzip members (the WARC
+    layout; `gzip.decompress` handles this too, but the explicit loop
+    surfaces truncation as ValueError instead of silent partial data)."""
+    out = bytearray()
+    view = data
+    while view:
+        d = zlib.decompressobj(31)  # 31 = gzip wrapper
+        try:
+            out += d.decompress(view)
+            out += d.flush()
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip member in WARC ({e})") from e
+        if not d.eof:
+            raise ValueError("truncated gzip member in WARC")
+        view = d.unused_data
+    return bytes(out)
+
+
+def _parse_warc_date(s: str) -> int:
+    """WARC-Date (ISO 8601, e.g. 2020-09-13T12:26:40Z) -> epoch micros;
+    0 when absent/unparseable (a missing date must not kill the record)."""
+    try:
+        dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1_000_000)
+    except ValueError:
+        return 0
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """WARC bytes (plain or gzip-member stream) -> list of records, each
+    {"headers": {lowercased name: value}, "payload": bytes}. Raises
+    ValueError on structural corruption."""
+    if data[:2] == _GZ_MAGIC:
+        data = gunzip_members(data)
+    records: list[dict] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while data.startswith(b"\r\n", pos) or data.startswith(b"\n", pos):
+            pos += 2 if data.startswith(b"\r\n", pos) else 1
+        if pos >= n:
+            break
+        end_hdr = data.find(b"\r\n\r\n", pos)
+        if end_hdr < 0:
+            raise ValueError("truncated WARC header block")
+        head_lines = data[pos:end_hdr].decode("utf-8", "replace").split("\r\n")
+        if not head_lines[0].startswith("WARC/"):
+            raise ValueError("not a WARC record (missing version line)")
+        headers: dict[str, str] = {}
+        for line in head_lines[1:]:
+            name, _, value = line.partition(":")
+            headers[name.strip().lower()] = value.strip()
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError as e:
+            raise ValueError("corrupt WARC Content-Length") from e
+        start = end_hdr + 4
+        payload = data[start : start + length]
+        if len(payload) < length:
+            raise ValueError("truncated WARC payload")
+        records.append({"headers": headers, "payload": payload})
+        pos = start + length
+    return records
+
+
+def strip_http_headers(payload: bytes) -> bytes:
+    """A WARC `response` payload is a full HTTP message; the body starts
+    after the first blank line. Payloads without an HTTP status line
+    pass through unchanged (robustness on mislabeled records)."""
+    if not payload.startswith(b"HTTP/"):
+        return payload
+    sep = payload.find(b"\r\n\r\n")
+    return payload[sep + 4 :] if sep >= 0 else payload
+
+
+def read_warc(
+    paths: str | list[str],
+    record_types: tuple[str, ...] = ("response", "conversion"),
+    strip_http: bool = True,
+    on_error: str = "raise",
+) -> Dataset:
+    """WARC archive path(s) -> Dataset(url, warc_ts, payload, warc_type).
+
+    One input archive = one parse unit (Common Crawl segments are the
+    natural block unit), read inside the map task through pyarrow.fs
+    with compression=None — Arrow's reader would otherwise infer gzip
+    from the .gz extension and decompress inside the read operator,
+    where a corrupt member is an uncatchable OSError; raw bytes keep
+    the gzip-member handling (and its ValueError contract) in
+    parse_warc. `on_error="skip"` drops corrupt/unreadable ARCHIVES
+    instead of failing the job — the resumable-ingest contract."""
+    import ray.data as rd
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
+    if isinstance(paths, str):
+        paths = [paths]
+    files = rd.from_items([{"path": p} for p in paths])
+
+    def _read_raw(path: str) -> bytes:
+        import pyarrow.fs as pafs
+
+        if "://" in path:
+            fs, rel = pafs.FileSystem.from_uri(path)
+        else:
+            fs, rel = pafs.LocalFileSystem(), path
+        with fs.open_input_stream(rel, compression=None) as f:
+            return f.read()
+
+    def to_rows(t: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        tss: list[int] = []
+        payloads: list[bytes] = []
+        types: list[str] = []
+        for path in t["path"].to_pylist():
+            try:
+                recs = parse_warc(_read_raw(path))
+            except (ValueError, OSError) as e:
+                if on_error == "skip":
+                    continue
+                if isinstance(e, ValueError):
+                    raise
+                raise ValueError(f"unreadable WARC archive {path}: {e}") from e
+            for rec in recs:
+                h = rec["headers"]
+                wtype = h.get("warc-type", "")
+                if wtype not in record_types:
+                    continue
+                body = rec["payload"]
+                if strip_http and wtype == "response":
+                    body = strip_http_headers(body)
+                urls.append(h.get("warc-target-uri", ""))
+                tss.append(_parse_warc_date(h.get("warc-date", "")))
+                payloads.append(body)
+                types.append(wtype)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(
+                    np.asarray(tss, dtype=np.int64), pa.timestamp("us")
+                ),
+                "payload": pa.array(payloads, pa.binary()),
+                "warc_type": pa.array(types, pa.string()),
+            }
+        )
+
+    return files.map_batches(to_rows, batch_format="pyarrow")
+
+
+def warc_pages(
+    paths: str | list[str], on_error: str = "raise"
+) -> Dataset:
+    """WARC archives -> the engine's pages-table shape (url, warc_ts,
+    html) — plug the result straight into `run_linkage`."""
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"url": t["url"], "warc_ts": t["warc_ts"], "html": t["payload"]}
+        )
+
+    return read_warc(
+        paths, record_types=("response",), strip_http=True, on_error=on_error
+    ).map_batches(rename, batch_format="pyarrow")
+
+
+# -- writer (tests / oracle round trips; spec-shaped output) -----------------
+
+
+def _warc_record(headers: list[tuple[str, str]], payload: bytes) -> bytes:
+    head = "WARC/1.0\r\n" + "".join(f"{k}: {v}\r\n" for k, v in headers)
+    head += f"Content-Length: {len(payload)}\r\n\r\n"
+    return head.encode("utf-8") + payload + b"\r\n\r\n"
+
+
+def synth_warc(
+    records: list[dict],
+    gzip_per_record: bool = True,
+    with_http_headers: bool = True,
+) -> bytes:
+    """records: [{"url", "date" (ISO 8601 str), "payload" (bytes),
+    "type" ("response"|"conversion")}] -> WARC bytes, Common-Crawl
+    style: a warcinfo record first, then one (optionally gzip-member)
+    record per page; `with_http_headers` wraps response payloads in a
+    minimal HTTP/1.1 message like real crawl captures."""
+    chunks: list[bytes] = []
+    info = _warc_record(
+        [
+            ("WARC-Type", "warcinfo"),
+            ("WARC-Date", "2020-09-13T12:00:00Z"),
+            ("WARC-Record-ID", "<urn:uuid:00000000-0000-0000-0000-000000000000>"),
+            ("Content-Type", "application/warc-fields"),
+        ],
+        b"software: hgcn-name-disambiguation-ray synth_warc\r\n",
+    )
+    chunks.append(info)
+    for i, rec in enumerate(records):
+        payload = rec["payload"]
+        rtype = rec.get("type", "response")
+        if rtype == "response" and with_http_headers:
+            payload = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+                + payload
+            )
+        chunks.append(
+            _warc_record(
+                [
+                    ("WARC-Type", rtype),
+                    ("WARC-Target-URI", rec["url"]),
+                    ("WARC-Date", rec.get("date", "2020-09-13T12:26:40Z")),
+                    ("WARC-Record-ID", f"<urn:uuid:{i:032x}>"),
+                    (
+                        "Content-Type",
+                        "application/http; msgtype=response"
+                        if rtype == "response"
+                        else "text/plain",
+                    ),
+                ],
+                payload,
+            )
+        )
+    if gzip_per_record:
+        out = bytearray()
+        for c in chunks:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            out += co.compress(c) + co.flush()
+        return bytes(out)
+    return b"".join(chunks)
