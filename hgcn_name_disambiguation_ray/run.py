@@ -21,7 +21,12 @@ def main(argv: list[str] | None = None) -> int:
         prog="hgcn_name_disambiguation_ray.run",
         description="Record-linkage over Common-Crawl-style Parquet pages",
     )
-    p.add_argument("--input", help="pages parquet path/dir")
+    p.add_argument("--input", help="pages parquet path/dir (or WARC archives "
+                                   "with --input-format warc)")
+    p.add_argument("--input-format", choices=["parquet", "warc"],
+                   default="parquet",
+                   help="'warc' ingests Common Crawl .warc(.gz) archives "
+                        "(comma-separated paths) via sources/warc.warc_pages")
     p.add_argument("--output", help="clusters output dir")
     p.add_argument("--lookup", default=None, metavar="BLOCK_KEY",
                    help="offline author lookup: resolve one block key "
@@ -129,7 +134,12 @@ def main(argv: list[str] | None = None) -> int:
                 lineage = f"auto:{args.input}"
 
         t0 = time.time()
-        pages = rd.read_parquet(args.input)
+        if args.input_format == "warc":
+            from hgcn_name_disambiguation_ray.sources.warc import warc_pages
+
+            pages = warc_pages([s for s in args.input.split(",") if s])
+        else:
+            pages = rd.read_parquet(args.input)
         if args.n_shards > 0:
             if not args.checkpoint_dir:
                 p.error("--n-shards requires --checkpoint-dir (shards "

@@ -124,3 +124,38 @@ def test_cli_summary_gate_skips_not_crashes(tmp_path, capsys):
     last = json.loads(captured.out.strip().splitlines()[-1])
     assert "summary_json_skipped" in last and "max_rows" in last["summary_json_skipped"]
     assert os.path.isdir(out)  # the linkage output itself survived
+
+
+def test_cli_warc_input(tmp_path, capsys):
+    """--input-format warc ingests Common Crawl archives end-to-end."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from hgcn_name_disambiguation_ray.fixtures import FixtureSpec, write_fixture
+    from hgcn_name_disambiguation_ray.run import main
+    from hgcn_name_disambiguation_ray.sources.warc import synth_warc
+
+    paths = write_fixture(
+        FixtureSpec(n_names=2, persons_per_name=2, docs_per_person=6),
+        str(tmp_path / "fixture"),
+    )
+    pages = pq.read_table(paths["pages"])
+    recs = [
+        {"url": u, "date": "2020-09-13T12:26:40Z", "payload": h, "type": "response"}
+        for u, h in zip(pages["url"].to_pylist(), pages["html"].to_pylist())
+    ]
+    mid = len(recs) // 2
+    w1, w2 = tmp_path / "p1.warc.gz", tmp_path / "p2.warc.gz"
+    w1.write_bytes(synth_warc(recs[:mid]))
+    w2.write_bytes(synth_warc(recs[mid:]))
+    out = str(tmp_path / "clusters")
+    rc = main(
+        [
+            "--input", f"{w1},{w2}",
+            "--input-format", "warc",
+            "--output", out,
+        ]
+    )
+    assert rc == 0
+    clusters = rd.read_parquet(out).to_pandas()
+    assert len(clusters) == pages.num_rows
