@@ -358,6 +358,91 @@ def run_segdedup_scale() -> None:
     }))
 
 
+# heavy-hitters demo corpus: ~200k docs x 80 tokens — half Zipf over a
+# 20k core vocab (a few tokens own percent-scale mass), half UNIQUE
+# per position (urls/ids/typos: the huge singleton tail real web text
+# has). ~8M distinct types of 16M tokens: the regime where an exact
+# token groupby must shuffle millions of distinct keys while the MG
+# sketch still ships k counters per block.
+HH_SPEC = dict(n_docs=200_000, tokens_per_doc=80, vocab=20_000, zipf_a=1.3, seed=29)
+HH_CORPUS_DIR = "/tmp/hgcn_ray_hh_corpus_v2"
+
+
+def _hh_corpus() -> str:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(HH_CORPUS_DIR, "docs.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(HH_CORPUS_DIR, exist_ok=True)
+    s = HH_SPEC
+    rng = np.random.default_rng(s["seed"])
+    half = s["tokens_per_doc"] // 2
+    toks = (rng.zipf(s["zipf_a"], size=(s["n_docs"], half)) - 1) % s["vocab"]
+    texts = [
+        " ".join(f"w{t}" for t in row)
+        + " "
+        + " ".join(f"u{i}x{j}" for j in range(half))
+        for i, row in enumerate(toks)
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(s["n_docs"]), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())}),
+        path, row_group_size=16384,
+    )
+    return path
+
+
+def run_heavy_scale() -> None:
+    """Misra-Gries heavy hitters vs the exact full-token groupby on a
+    ~16M-token Zipfian corpus: wall time for both paths plus an exact
+    set/count equality check (the sketch path must return literally the
+    HAVING cnt*k > total set)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from hgcn_name_disambiguation_ray.pipelines.textprep import vocabulary
+    from hgcn_name_disambiguation_ray.stages.sketch import heavy_hitters
+
+    k = 100
+    path = _hh_corpus()
+    _warm_file(path)
+    n_docs = rd.read_parquet(path).count()
+
+    t0 = time.time()
+    hh = heavy_hitters(rd.read_parquet(path), k=k)
+    t_sketch = time.time() - t0
+
+    t0 = time.time()
+    vocab = vocabulary(rd.read_parquet(path)).to_pandas()
+    t_exact = time.time() - t0
+    total = int(vocab["n_occurrences"].sum())
+    expect = vocab[vocab["n_occurrences"] * k > total].sort_values("token")
+
+    got = hh.to_pandas()
+    match = (list(got["token"]) == list(expect["token"])
+             and list(got["cnt"]) == list(expect["n_occurrences"]))
+    ray.shutdown()
+    print(json.dumps({
+        "metric": f"heavy_hitters (MG sketch + exact verify) vs exact groupby, k={k}",
+        "docs": int(n_docs), "total_tokens": total,
+        "hitters_found": int(len(got)),
+        "sketch_path_sec": round(t_sketch, 3),
+        "exact_groupby_sec": round(t_exact, 3),
+        "speedup": round(t_exact / t_sketch, 2) if t_sketch else None,
+        "matches_exact_having_set": bool(match),
+        "num_cpus": NUM_CPUS,
+    }))
+
+
 # hot-key-at-volume demo: ONE ambiguous name ("John Smith at web scale")
 # carrying 100k mentions of 100 distinct persons — a single blocking key
 # that MUST salt (ceil(100000/256) ~ 391 salts at salt_cap=256) and then
@@ -557,6 +642,8 @@ if __name__ == "__main__":
         run_segdedup_scale()
     elif "--hotkey-scale" in sys.argv:
         run_hotkey_scale()
+    elif "--heavy-scale" in sys.argv:
+        run_heavy_scale()
     elif "--scaling" in sys.argv:
         run_scaling()
     else:

@@ -247,3 +247,46 @@ def test_kll_error_bound_generated(n, n_parts, rnd):
     rank = np.searchsorted(xs, est, side="right") / n
     assert np.all(np.abs(rank - qs) < 0.02)
     assert merged.n == n
+
+
+# -- WARC: writer/parser are exact inverses over generated records -----------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=30),
+            st.binary(max_size=200),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.booleans(),
+)
+def test_warc_roundtrip_generated(recs, gz):
+    from hgcn_name_disambiguation_ray.sources.warc import (
+        parse_warc,
+        strip_http_headers,
+        synth_warc,
+    )
+
+    records = [
+        {
+            "url": f"https://t.test/{u}",
+            "date": "2020-09-13T12:26:40Z",
+            "payload": p,
+            "type": "response" if resp else "conversion",
+        }
+        for u, p, resp in recs
+    ]
+    parsed = parse_warc(synth_warc(records, gzip_per_record=gz))
+    assert parsed[0]["headers"]["warc-type"] == "warcinfo"
+    assert len(parsed) == len(records) + 1
+    for rec, got in zip(records, parsed[1:]):
+        body = got["payload"]
+        if rec["type"] == "response":
+            body = strip_http_headers(body)
+        assert body == rec["payload"]
+        assert got["headers"]["warc-target-uri"] == rec["url"]
