@@ -185,3 +185,31 @@ def test_synth_mp4_clamps_overwide_chunk_claim():
     frames = _frames(3)
     for i in range(3):
         assert mp4_sample_bytes(payload, track, i) == frames[i]
+
+
+def test_sample_frames_progressive_mjpeg(ray_session):
+    """MJPEG-in-MP4 whose frames are PROGRESSIVE JPEGs: the demux path
+    must decode them identically to a baseline-frame container (the
+    codec handles SOF2 for real now — no more guaranteed-raise)."""
+    from hgcn_name_disambiguation_ray.stages.multimodal import SampleFrames
+
+    def img(i, w=24, h=16):
+        y, x = np.mgrid[0:h, 0:w]
+        return np.stack(
+            [(x * 5 + i * 17) % 256, (y * 9 + i * 3) % 256, (x + y + i * 29) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+
+    base = synth_mp4([synth_jpeg(img(i), quality=92) for i in range(4)],
+                     width=24, height=16)
+    prog = synth_mp4(
+        [synth_jpeg(img(i), quality=92, progressive=True) for i in range(4)],
+        width=24, height=16,
+    )
+    out_b = SampleFrames(n_frames=2, fake=False)(_vid_table(base))
+    out_p = SampleFrames(n_frames=2, fake=False)(_vid_table(prog))
+    assert out_p.num_rows == out_b.num_rows == 2
+    for r in range(2):
+        pb = np.asarray(out_b["pixels"][r].as_py(), dtype=np.uint8)
+        pp = np.asarray(out_p["pixels"][r].as_py(), dtype=np.uint8)
+        assert np.array_equal(pb, pp)  # progressive == baseline, byte-exact
