@@ -1266,8 +1266,6 @@ def _q_warc_roundtrip(sf_dir: str):
     in-pipeline), and compared hash-exact against the parquet view —
     the gzip-member split, WARC grammar, Content-Length slicing and
     HTTP strip must all be byte-perfect for the text to survive."""
-    import ray.data as rd
-
     from hashlib import blake2b
 
     from hgcn_name_disambiguation_ray.sources.warc import read_warc, synth_warc

@@ -116,7 +116,18 @@ def main(argv: list[str] | None = None) -> int:
             from hashlib import blake2b
 
             try:
-                if os.path.isdir(args.input):
+                if args.input_format == "warc" and "," in args.input:
+                    # comma-separated archives: fingerprint EACH path —
+                    # os.stat on the joined string raises, and the URI
+                    # fallback would let an in-place rewrite of one
+                    # archive silently reuse stale checkpoints
+                    parts = sorted(
+                        (p, os.stat(p).st_mtime_ns, os.stat(p).st_size)
+                        for p in args.input.split(",") if p
+                    )
+                    d = blake2b(repr(parts).encode(), digest_size=8).hexdigest()
+                    lineage = f"auto:warc:{d}"
+                elif os.path.isdir(args.input):
                     # fingerprint the LISTING (name, mtime, size per file):
                     # an in-place rewrite of a member file does not change
                     # the directory inode's mtime/size

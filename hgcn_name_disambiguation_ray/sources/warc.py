@@ -8,11 +8,14 @@ handles the member-per-record gzip layout Common Crawl ships
 record, so archives are splittable at member boundaries), and the WARC
 record grammar is a CRLF header block + Content-Length payload.
 
-`read_warc` is Ray-Data-first: `ray.data.read_binary_files` over the
-archive paths (each file one row — Common Crawl segments are ~1 GB, the
-natural block unit), then a `map_batches` that parses records and emits
-one row per response/conversion record with the pages-table shape. At
-256-node scale the file listing is the partitioning; no shuffle anywhere.
+`read_warc` distributes one parse task per archive path (Common Crawl
+segments are ~1 GB, the natural block unit): a `from_items` over the
+path list, then a `map_batches` that reads each archive through
+pyarrow.fs with compression pinned OFF (Arrow would otherwise infer
+gzip from the .gz extension and decompress inside the read operator,
+where a corrupt member is an uncatchable OSError) and emits one row per
+response/conversion record with the pages-table shape. At 256-node
+scale the path list is the partitioning; no shuffle anywhere.
 
 `synth_warc` writes spec-shaped archives (warcinfo record + per-record
 gzip members, WARC/1.0 headers) so tests and the oracle query can round
@@ -33,20 +36,32 @@ _GZ_MAGIC = b"\x1f\x8b"
 
 def gunzip_members(data: bytes) -> bytes:
     """Decompress a stream of CONCATENATED gzip members (the WARC
-    layout; `gzip.decompress` handles this too, but the explicit loop
-    surfaces truncation as ValueError instead of silent partial data)."""
+    layout), surfacing truncation/corruption as ValueError.
+
+    Streams fixed-size memoryview slices into each decompressobj and
+    advances an offset: `unused_data` then copies at most one chunk's
+    tail per member, keeping the whole pass linear — a 1 GB segment has
+    tens of thousands of members, so the naive feed-the-whole-remainder
+    loop would memcpy quadratically."""
     out = bytearray()
-    view = data
-    while view:
+    mv = memoryview(data)
+    n = len(mv)
+    pos = 0
+    chunk_size = 1 << 20
+    while pos < n:
         d = zlib.decompressobj(31)  # 31 = gzip wrapper
+        fed = 0
         try:
-            out += d.decompress(view)
+            while not d.eof and pos + fed < n:
+                chunk = mv[pos + fed : pos + fed + chunk_size]
+                out += d.decompress(chunk)
+                fed += len(chunk)
             out += d.flush()
         except zlib.error as e:
             raise ValueError(f"corrupt gzip member in WARC ({e})") from e
         if not d.eof:
             raise ValueError("truncated gzip member in WARC")
-        view = d.unused_data
+        pos += fed - len(d.unused_data)
     return bytes(out)
 
 
@@ -99,14 +114,70 @@ def parse_warc(data: bytes) -> list[dict]:
     return records
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Undo Transfer-Encoding: chunked framing (hex size line + CRLF per
+    chunk, 0-size terminator). Raises ValueError on broken framing."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("corrupt chunked encoding (missing size line)")
+        size_field = body[pos:eol].split(b";")[0].strip()
+        try:
+            size = int(size_field, 16)
+        except ValueError as e:
+            raise ValueError("corrupt chunked encoding (bad chunk size)") from e
+        pos = eol + 2
+        if size == 0:
+            break
+        if pos + size > len(body):
+            raise ValueError("corrupt chunked encoding (chunk past end)")
+        out += body[pos : pos + size]
+        pos += size + 2  # skip the CRLF after the chunk data
+    return bytes(out)
+
+
 def strip_http_headers(payload: bytes) -> bytes:
-    """A WARC `response` payload is a full HTTP message; the body starts
-    after the first blank line. Payloads without an HTTP status line
-    pass through unchanged (robustness on mislabeled records)."""
+    """A WARC `response` payload is the HTTP message AS CAPTURED; the
+    body starts after the first blank line and may still carry its
+    transport/content encodings. This undoes both: Transfer-Encoding:
+    chunked de-framing, then Content-Encoding gzip/x-gzip/deflate
+    decompression — real crawlers (wget/Heritrix) store exactly these.
+    Decoding is best-effort: a body whose declared encoding fails to
+    decode comes back raw rather than killing the archive (crawl
+    captures are routinely truncated mid-body). Payloads without an
+    HTTP status line pass through unchanged (mislabeled records)."""
     if not payload.startswith(b"HTTP/"):
         return payload
     sep = payload.find(b"\r\n\r\n")
-    return payload[sep + 4 :] if sep >= 0 else payload
+    if sep < 0:
+        return payload
+    body = payload[sep + 4 :]
+    te = ce = ""
+    for line in payload[:sep].decode("latin-1").split("\r\n")[1:]:
+        name, _, value = line.partition(":")
+        name = name.strip().lower()
+        if name == "transfer-encoding":
+            te = value.strip().lower()
+        elif name == "content-encoding":
+            ce = value.strip().lower()
+    if "chunked" in te:
+        try:
+            body = _dechunk(body)
+        except ValueError:
+            return body  # broken framing: raw body beats a dead archive
+    if ce in ("gzip", "x-gzip", "deflate"):
+        try:
+            # wbits=47 auto-detects zlib/gzip wrappers; raw deflate
+            # (the historically misimplemented variant) needs -15
+            try:
+                body = zlib.decompress(body, 47)
+            except zlib.error:
+                body = zlib.decompress(body, -15)
+        except zlib.error:
+            pass  # truncated/corrupt capture: keep the raw bytes
+    return body
 
 
 def read_warc(

@@ -529,7 +529,11 @@ def heavy_hitters(
             }
         )
 
-    ds = ds.select_columns([text_col]).materialize()  # two passes below
+    # two passes below, but do NOT materialize: the text column is the
+    # corpus body — pinning it in the object store at web scale forces
+    # spilling, while re-executing a file-backed streaming scan is cheap
+    # and deterministic
+    ds = ds.select_columns([text_col])
     merged = MisraGries(k)
     total = 0
     for row in ds.map_batches(per_batch, batch_format="pyarrow").take_all():

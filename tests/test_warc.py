@@ -122,3 +122,70 @@ def test_warc_pages_feeds_linkage_identically(ray_session, tmp_path):
     from_warc = norm(run_linkage(warc_pages([str(w1), str(w2)]), LinkageConfig()))
     from_parquet = norm(run_linkage(rd.read_parquet(paths["pages"]), LinkageConfig()))
     pd.testing.assert_frame_equal(from_warc, from_parquet)
+
+
+def test_http_chunked_and_content_encoding_decode():
+    """Real crawl captures store the HTTP message as transmitted:
+    chunked transfer framing and gzip/deflate content encodings must be
+    undone; broken/truncated encodings fall back to raw bytes instead of
+    killing the archive."""
+    import zlib
+
+    body = b"<html>the real body</html>"
+    # chunked framing
+    chunked = b"".join(
+        b"%x\r\n%s\r\n" % (len(c), c) for c in (body[:7], body[7:])
+    ) + b"0\r\n\r\n"
+    msg = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + chunked
+    )
+    assert strip_http_headers(msg) == body
+    # gzip content encoding
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    gz = co.compress(body) + co.flush()
+    msg = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + gz
+    assert strip_http_headers(msg) == body
+    # chunked + gzip together (transport framing outside, content inside)
+    chunked_gz = b"%x\r\n%s\r\n0\r\n\r\n" % (len(gz), gz)
+    msg = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + chunked_gz
+    )
+    assert strip_http_headers(msg) == body
+    # raw deflate (the historically misimplemented variant)
+    raw = zlib.compressobj(6, zlib.DEFLATED, -15)
+    msg = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+        + raw.compress(body) + raw.flush()
+    )
+    assert strip_http_headers(msg) == body
+    # truncated gzip: best-effort raw fallback, never an exception
+    msg = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + gz[:10]
+    assert strip_http_headers(msg) == gz[:10]
+    # broken chunk framing: raw fallback
+    msg = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZZ\r\nnope"
+    assert strip_http_headers(msg) == b"ZZZ\r\nnope"
+
+
+def test_chunked_response_record_roundtrip(ray_session, tmp_path):
+    """A WARC response record captured with chunked+gzip encodings must
+    come out of read_warc as the decoded body."""
+    import zlib
+
+    body = b"<html>chunk me</html>"
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    gz = co.compress(body) + co.flush()
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        + b"%x\r\n%s\r\n0\r\n\r\n" % (len(gz), gz)
+    )
+    # payload already a full HTTP message: synth must not re-wrap
+    data = synth_warc(
+        [{"url": "https://c.test/x", "payload": http, "type": "response"}],
+        with_http_headers=False,
+    )
+    p = tmp_path / "c.warc.gz"
+    p.write_bytes(data)
+    df = read_warc(str(p)).to_pandas()
+    assert bytes(df["payload"][0]) == body
