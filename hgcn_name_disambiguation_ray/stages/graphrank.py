@@ -107,11 +107,19 @@ def pagerank(
             batch_format="pyarrow",
         )
         shipped = auto_join(edges, contrib, on=["src"], how="inner")
+
+        def partial(t: pa.Table) -> pa.Table:
+            # per-batch partial sum BEFORE the shuffle: the exchange then
+            # moves O(nodes x blocks) rows, not O(edges) — integer sums
+            # stay exact under any combine order
+            g = pa.table({"dst": t["dst"], "s": t["contrib"]}).group_by(
+                "dst"
+            ).aggregate([("s", "sum")])
+            ren = {"s_sum": "s"}
+            return g.rename_columns([ren.get(c, c) for c in g.column_names])
+
         sums = bucketed_sum(
-            shipped.map_batches(
-                lambda t: pa.table({"dst": t["dst"], "s": t["contrib"]}),
-                batch_format="pyarrow",
-            ),
+            shipped.map_batches(partial, batch_format="pyarrow"),
             ["dst"], ["s"], n_buckets=n_buckets,
         ).map_batches(
             lambda t: pa.table({"node": t["dst"], "s": t["s"]}),
