@@ -1261,9 +1261,10 @@ def _q_warc_roundtrip(sf_dir: str):
     is exported once as a per-record-gzip-member WARC archive (response
     records with real HTTP wrapping for even doc ids, WET-style
     conversion records for odd — both archive layouts Common Crawl
-    ships), read back through `sources/warc.read_warc`
-    (read_binary_files -> stateless record parse, HTTP headers stripped
-    in-pipeline), and compared hash-exact against the parquet view —
+    ships), read back through `sources/warc.read_warc` (one parse task
+    per archive, raw bytes via pyarrow.fs with compression pinned off,
+    HTTP headers stripped in-pipeline), and compared hash-exact against
+    the parquet view —
     the gzip-member split, WARC grammar, Content-Length slicing and
     HTTP strip must all be byte-perfect for the text to survive."""
     from hashlib import blake2b
@@ -1496,7 +1497,9 @@ def _q_heavy_hitters(sf_dir: str):
     value-hash oracle."""
     from hgcn_name_disambiguation_ray.stages.sketch import heavy_hitters
 
-    return heavy_hitters(_docs(sf_dir, columns=["doc_id", "text"]), k=50)
+    return heavy_hitters(
+        _docs(sf_dir, columns=["doc_id", "text"]), k=50, snapshot=False
+    )  # deterministic parquet input: keep both passes streaming
 
 
 def _q_token_freq_score(sf_dir: str):

@@ -121,9 +121,11 @@ def main(argv: list[str] | None = None) -> int:
                     # os.stat on the joined string raises, and the URI
                     # fallback would let an in-place rewrite of one
                     # archive silently reuse stale checkpoints
+                    stats = [
+                        (p, os.stat(p)) for p in args.input.split(",") if p
+                    ]  # one stat per path: mtime and size from one state
                     parts = sorted(
-                        (p, os.stat(p).st_mtime_ns, os.stat(p).st_size)
-                        for p in args.input.split(",") if p
+                        (p, st.st_mtime_ns, st.st_size) for p, st in stats
                     )
                     d = blake2b(repr(parts).encode(), digest_size=8).hexdigest()
                     lineage = f"auto:warc:{d}"

@@ -128,13 +128,28 @@ def _dechunk(body: bytes) -> bytes:
             size = int(size_field, 16)
         except ValueError as e:
             raise ValueError("corrupt chunked encoding (bad chunk size)") from e
+        if size < 0:
+            # int(b"-6", 16) parses; without this check a negative size
+            # walks pos backwards and loops forever growing `out`
+            raise ValueError("corrupt chunked encoding (negative chunk size)")
         pos = eol + 2
         if size == 0:
+            # last-chunk must be followed by the terminating CRLF (or
+            # nothing, for truncated-at-the-boundary captures); a plain
+            # body that merely STARTS with "0\r\n" must not silently
+            # decode to empty
+            if body[pos:] not in (b"", b"\r\n"):
+                raise ValueError("corrupt chunked encoding (bad terminator)")
             break
         if pos + size > len(body):
             raise ValueError("corrupt chunked encoding (chunk past end)")
         out += body[pos : pos + size]
-        pos += size + 2  # skip the CRLF after the chunk data
+        # the CRLF after the chunk data is mandatory; treating its absence
+        # as corruption (-> raw-body fallback) protects already-de-chunked
+        # bodies whose first line merely LOOKS like a hex size
+        if body[pos + size : pos + size + 2] != b"\r\n":
+            raise ValueError("corrupt chunked encoding (missing chunk CRLF)")
+        pos += size + 2
     return bytes(out)
 
 
@@ -166,7 +181,10 @@ def strip_http_headers(payload: bytes) -> bytes:
         try:
             body = _dechunk(body)
         except ValueError:
-            return body  # broken framing: raw body beats a dead archive
+            # broken/already-undone framing: keep the raw body but STILL
+            # attempt the content decode below — a crawler that de-chunked
+            # while preserving headers leaves valid gzip here
+            pass
     if ce in ("gzip", "x-gzip", "deflate"):
         try:
             # wbits=47 auto-detects zlib/gzip wrappers; raw deflate

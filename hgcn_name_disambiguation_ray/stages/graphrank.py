@@ -22,7 +22,6 @@ simplified formulation); nodes with no in-edges hold the base rank.
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
@@ -127,13 +126,20 @@ def pagerank(
         )
         joined = auto_join(nodes, sums, on=["node"], how="left")
 
-        def step(df: pd.DataFrame) -> pd.DataFrame:
-            s = df["s"].fillna(0).astype("int64")
-            return pd.DataFrame(
-                {"node": df["node"],
-                 "rank": base + damping_milli * s // 1000}
+        def step(t: pa.Table) -> pa.Table:
+            # Arrow end to end: a pandas fillna tail would pass nullable
+            # sums through float64 on the hash-join path and round values
+            # above 2^53 — coalesce keeps the recurrence exact in int64
+            s = pc.coalesce(pc.cast(t["s"], pa.int64()), pa.scalar(0, pa.int64()))
+            rank = pc.add(
+                pa.scalar(base, pa.int64()),
+                pc.divide(
+                    pc.multiply(pa.scalar(damping_milli, pa.int64()), s),
+                    pa.scalar(1000, pa.int64()),
+                ),
             )
+            return pa.table({"node": t["node"], "rank": rank})
 
-        ranks = joined.map_batches(step, batch_format="pandas").materialize()
+        ranks = joined.map_batches(step, batch_format="pyarrow").materialize()
 
     return ranks

@@ -505,13 +505,21 @@ def heavy_hitters(
     ds: Dataset,
     text_col: str = "text",
     k: int = 50,
+    snapshot: bool = True,
 ) -> pa.Table:
     """Tokens whose exact corpus count exceeds total/k, found WITHOUT a
     full token shuffle: Misra-Gries candidate pass (one small sketch row
     per batch, O(n_blocks*k) driver merge), then an exact verify pass
     over only the <= k candidates (broadcast lookup, tiny groupby).
     Returns (token, cnt) sorted by token — exactly the SQL
-    `GROUP BY token HAVING count(*) * k > total` result."""
+    `GROUP BY token HAVING count(*) * k > total` result.
+
+    The two passes must see the SAME rows. `snapshot=True` (default)
+    materializes the projected text column so any upstream — including
+    nondeterministic stages like sampling — yields a consistent pair of
+    passes; pass `snapshot=False` for deterministic file-backed inputs
+    to keep both passes streaming instead of pinning the corpus body in
+    the object store (the 100 TB path)."""
     from ray.data.aggregate import Sum
 
     from hgcn_name_disambiguation_ray.functions.text import split_ws_flat
@@ -529,11 +537,9 @@ def heavy_hitters(
             }
         )
 
-    # two passes below, but do NOT materialize: the text column is the
-    # corpus body — pinning it in the object store at web scale forces
-    # spilling, while re-executing a file-backed streaming scan is cheap
-    # and deterministic
     ds = ds.select_columns([text_col])
+    if snapshot:
+        ds = ds.materialize()
     merged = MisraGries(k)
     total = 0
     for row in ds.map_batches(per_batch, batch_format="pyarrow").take_all():

@@ -189,3 +189,32 @@ def test_chunked_response_record_roundtrip(ray_session, tmp_path):
     p.write_bytes(data)
     df = read_warc(str(p)).to_pandas()
     assert bytes(df["payload"][0]) == body
+
+
+def test_dechunk_adversarial_inputs_never_hang():
+    """Review findings: a negative hex chunk size must raise (it used to
+    walk pos backwards and loop forever), a missing chunk CRLF must raise
+    (it used to silently truncate already-de-chunked bodies), and a
+    chunked+gzip header pair over an already-de-chunked gzip body must
+    still reach the content decode."""
+    import zlib
+
+    from hgcn_name_disambiguation_ray.sources.warc import _dechunk
+
+    with pytest.raises(ValueError, match="negative"):
+        _dechunk(b"-6\r\n" + b"X" * 100)
+    # coincidental hex first line without proper chunk CRLF framing
+    with pytest.raises(ValueError, match="CRLF"):
+        _dechunk(b"5\r\nAAAAAno-crlf-here")
+    # a plain body starting "0\r\n" must NOT silently become empty
+    with pytest.raises(ValueError):
+        _dechunk(b"0\r\nplain text that is not chunked")
+    # de-chunked-but-still-compressed capture: content decode still runs
+    body = b"<html>still compressed</html>"
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    gz = co.compress(body) + co.flush()
+    msg = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + gz  # NOT chunk-framed
+    )
+    assert strip_http_headers(msg) == body
